@@ -1,0 +1,173 @@
+"""1-D axial attention with learned relative positional encodings.
+
+TPU-native re-design of the reference's ``AxialAttention``/``AxialAttention2D``
+(`kmax_deeplab/modeling/pixel_decoder/kmax_pixel_decoder.py:75-190`, itself a
+port of deeplab2 axial_layers): height-axis then width-axis single-axis
+attention with query/key/value relative positional embeddings (MAX_SPAN=255)
+and BatchNorm-normalized similarity logits.
+
+Layout: channels-last. The (N*W, C, H) / (N*H, C, W) torch batching becomes
+plain leading batch dims on (…, L, C) arrays; all contractions are einsums
+the MXU eats directly, and the softmax runs in fp32 as the reference pins it
+(`kmax_pixel_decoder.py:144-145`).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.init import trunc_normal
+from ..ops.norm import BatchNorm
+from .convbn import ConvBN
+
+MAX_SPAN = 255
+
+
+def compute_relative_distance_matrix(query_length: int, key_length: int) -> np.ndarray:
+    """Static (L, M) matrix of shifted relative distances indexing the RPE table.
+
+    Mirrors `kmax_pixel_decoder.py:76-85`.
+    """
+    if (key_length - query_length) % 2:
+        raise ValueError("key_length must be query_length + 2 * flange")
+    key_index = np.arange(key_length)
+    query_index = np.arange(query_length) + (key_length - query_length) // 2
+    distance = key_index[None, :] - query_index[:, None]
+    return distance + MAX_SPAN - 1
+
+
+class RelativePositionalEncoding(nn.Module):
+    """Gathers (L, M, depth) relative embeddings from a (2*MAX_SPAN-1, depth) table."""
+
+    query_length: int
+    key_length: int
+    depth: int
+
+    @nn.compact
+    def __call__(self):
+        table = self.param(
+            "embeddings", trunc_normal(std=1.0), (MAX_SPAN * 2 - 1, self.depth), jnp.float32
+        )
+        idx = compute_relative_distance_matrix(self.query_length, self.key_length)
+        return table[jnp.asarray(idx.reshape(-1))].reshape(
+            self.query_length, self.key_length, self.depth
+        )
+
+
+class AxialAttention(nn.Module):
+    """Single-axis attention over (..., L, C) with q/k/v RPE and BN'd logits."""
+
+    query_shape: int
+    total_key_depth: int = 512
+    total_value_depth: int = 1024
+    num_heads: int = 8
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (N, L, C)
+        n, length, _ = x.shape
+        h = self.num_heads
+        dk = self.total_key_depth // h
+        dv = self.total_value_depth // h
+        in_planes = x.shape[-1]
+
+        qkv = ConvBN(
+            self.total_key_depth * 2 + self.total_value_depth,
+            kernel_size=1,
+            use_bias=False,
+            norm=None,
+            act=None,
+            conv_type="1d",
+            conv_init_std=in_planes ** -0.5,
+            dtype=self.dtype,
+            name="qkv_transform",
+        )(x, train=train)
+        qkv = BatchNorm(
+            features=qkv.shape[-1], dtype=self.dtype, name="batch_norm_qkv"
+        )(qkv, train=train)
+
+        q = qkv[..., : self.total_key_depth].reshape(n, length, h, dk)
+        k = qkv[..., self.total_key_depth : 2 * self.total_key_depth].reshape(
+            n, length, h, dk
+        )
+        v = qkv[..., 2 * self.total_key_depth :].reshape(n, length, h, dv)
+
+        query_rpe = RelativePositionalEncoding(length, length, dk, name="query_rpe")()
+        key_rpe = RelativePositionalEncoding(length, length, dk, name="key_rpe")()
+        value_rpe = RelativePositionalEncoding(length, length, dv, name="value_rpe")()
+
+        content_sim = jnp.einsum("nlhd,nmhd->nlmh", q, k)
+        query_rpe_sim = jnp.einsum("nlhd,lmd->nlmh", q, query_rpe.astype(q.dtype))
+        key_rpe_sim = jnp.einsum("nmhd,lmd->nlmh", k, key_rpe.astype(k.dtype))
+        # (N, L, M, 3h): BN over the channel axis exactly as the reference's
+        # `_batch_norm_similarity` over a (N, 3h, L, M) tensor.
+        sim = jnp.concatenate([content_sim, query_rpe_sim, key_rpe_sim], axis=-1)
+        sim = BatchNorm(features=3 * h, dtype=self.dtype, name="batch_norm_similarity")(
+            sim, train=train
+        )
+        logits = sim.reshape(n, length, length, 3, h).sum(axis=3)  # (N, L, M, h)
+        weights = nn.softmax(logits.astype(jnp.float32), axis=2)
+        weights = weights.astype(v.dtype)
+
+        retrieved_content = jnp.einsum("nlmh,nmhd->nlhd", weights, v).reshape(
+            n, length, self.total_value_depth
+        )
+        retrieved_rpe = jnp.einsum(
+            "nlmh,lmd->nlhd", weights, value_rpe.astype(weights.dtype)
+        ).reshape(n, length, self.total_value_depth)
+
+        retrieved = jnp.concatenate([retrieved_content, retrieved_rpe], axis=-1)
+        retrieved = BatchNorm(
+            features=2 * self.total_value_depth,
+            dtype=self.dtype,
+            name="batch_norm_retrieved_output",
+        )(retrieved, train=train)
+        out = retrieved.reshape(n, length, 2, self.total_value_depth).sum(axis=2)
+        return out
+
+
+class AxialAttention2D(nn.Module):
+    """Height-axis then width-axis axial attention on (N, H, W, C)."""
+
+    query_shape: tuple  # (H, W)
+    filters: int = 512
+    key_expansion: float = 1.0
+    value_expansion: float = 2.0
+    num_heads: int = 8
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, height, width, c = x.shape
+        total_key_depth = int(round(self.filters * self.key_expansion))
+        total_value_depth = int(round(self.filters * self.value_expansion))
+
+        # height axis: sequences of length H batched over (N, W)
+        xh = x.transpose(0, 2, 1, 3).reshape(n * width, height, c)
+        xh = AxialAttention(
+            query_shape=self.query_shape[0],
+            total_key_depth=total_key_depth,
+            total_value_depth=total_value_depth,
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            name="height_axis",
+        )(xh, train=train)
+        # (N*W, H, V) -> (N*H, W, V)
+        xw = (
+            xh.reshape(n, width, height, total_value_depth)
+            .transpose(0, 2, 1, 3)
+            .reshape(n * height, width, total_value_depth)
+        )
+        xw = AxialAttention(
+            query_shape=self.query_shape[1],
+            total_key_depth=total_key_depth,
+            total_value_depth=total_value_depth,
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            name="width_axis",
+        )(xw, train=train)
+        return xw.reshape(n, height, width, total_value_depth)

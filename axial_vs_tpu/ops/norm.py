@@ -1,0 +1,146 @@
+"""Normalization layers with torch-equivalent semantics.
+
+The reference wraps nearly every conv in ``nn.SyncBatchNorm(eps=1e-3,
+momentum=0.01)`` (`kmax_pixel_decoder.py:32-37`) and additionally batch-norms
+attention similarity logits (`kmax_pixel_decoder.py:122-124`). On TPU under
+GSPMD, a plain batch mean over a batch-sharded array is computed globally
+(XLA inserts the all-reduce), so *SyncBN == BatchNorm* here — no explicit
+axis_name plumbing is required when running under jit with sharded inputs.
+
+Semantics matched to torch:
+- normalization uses biased batch variance in training;
+- running stats update: ``new = (1 - momentum) * old + momentum * batch``
+  with **unbiased** batch variance (torch convention);
+- eval uses running stats.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.01  # torch convention: weight on the NEW batch statistic
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm over the trailing feature axis (inputs are channels-last).
+
+    All leading axes are reduced. Feature axis must be the last axis.
+    """
+
+    features: int
+    epsilon: float = BN_EPS
+    momentum: float = BN_MOMENTUM
+    use_scale: bool = True
+    use_bias: bool = True
+    scale_init: Any = nn.initializers.ones
+    dtype: Any = None  # computation dtype for the normalized output
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        orig_dtype = x.dtype
+        reduce_axes = tuple(range(x.ndim - 1))
+
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)  # biased, for normalization
+            if not self.is_initializing():
+                n = 1
+                for ax in reduce_axes:
+                    n *= x.shape[ax]
+                correction = n / max(n - 1, 1)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (
+                    (1 - self.momentum) * ra_var.value + self.momentum * var * correction
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        if self.use_scale:
+            scale = self.param("scale", self.scale_init, (self.features,), jnp.float32)
+            y = y * scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias
+        return y.astype(self.dtype or orig_dtype)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the trailing feature axis, computed in fp32.
+
+    Matches the reference ConvNeXt ``LayerNorm`` which upcasts to fp32 under
+    autocast (`kmax_deeplab/modeling/backbone/convnext.py:53-84`).
+    """
+
+    features: int
+    epsilon: float = 1e-6
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) / jnp.sqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = y * scale + bias
+        return y.astype(self.dtype or orig_dtype)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over the trailing feature axis (torch eps default 1e-5)."""
+
+    features: int
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        g = self.num_groups
+        c = self.features
+        assert c % g == 0, f"channels {c} not divisible by groups {g}"
+        shape = x.shape
+        xf = x.astype(jnp.float32).reshape(*shape[:-1], g, c // g)
+        # reduce over all non-(leading batch) axes: torch GroupNorm normalizes
+        # per-sample over (C//g, *spatial). Leading axis 0 is the batch.
+        reduce_axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
+        mean = jnp.mean(xf, axis=reduce_axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes, keepdims=True)
+        y = ((xf - mean) / jnp.sqrt(var + self.epsilon)).reshape(shape)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        y = y * scale + bias
+        return y.astype(self.dtype or orig_dtype)
+
+
+def get_norm(name: str | None, features: int, **kwargs) -> nn.Module | None:
+    """Norm factory mirroring the reference's ``get_norm``
+    (`kmax_pixel_decoder.py:32-40`): 'syncbn' -> BatchNorm(eps=1e-3, m=0.01),
+    'ln' -> channels-last LayerNorm, None/'none' -> identity (None here).
+    """
+    if name is None or name.lower() == "none":
+        return None
+    if name.lower() == "syncbn" or name.lower() == "bn":
+        return BatchNorm(features=features, **kwargs)
+    if name.lower() == "ln":
+        return LayerNorm(features=features, epsilon=1e-6, **kwargs)
+    if name.lower() == "gn":
+        return GroupNorm(features=features, **kwargs)
+    raise ValueError(f"unknown norm {name!r}")

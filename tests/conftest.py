@@ -1,0 +1,29 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Mirrors SURVEY.md §4's plan: multi-device logic is tested with
+``xla_force_host_platform_device_count`` instead of a real multi-chip TPU.
+
+NOTE: the sandbox's sitecustomize imports jax at interpreter startup and
+registers the 'axon' TPU backend, so env vars alone are read too early —
+we must also flip ``jax.config`` after import.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
