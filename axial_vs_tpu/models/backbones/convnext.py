@@ -1,0 +1,129 @@
+"""ConvNeXt / ConvNeXtV2 backbone, TPU-native NHWC.
+
+Matches `kmax_deeplab/modeling/backbone/convnext.py` (D2ConvNeXt :153-216,
+Block :15-50) and `convnextv2.py` (GRN variant): 4x4/4 patchify stem with
+LayerNorm, per-stage [LN + 2x2/2 downsample], blocks of
+[7x7 depthwise -> LN -> 1x1(4C) -> gelu -> (GRN | gamma) -> 1x1(C)] with
+stochastic depth; per-stage output LayerNorms for res2..res5.
+
+LayerNorm runs in fp32 (the reference pins fp32 under autocast,
+`convnext.py:53-84`) — our ops.norm.LayerNorm already does this.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.init import trunc_normal
+from ...ops.norm import LayerNorm
+from ...layers.convbn import DropPath
+
+
+class GRN(nn.Module):
+    """Global Response Normalization (ConvNeXtV2)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, C)
+        gamma = self.param("gamma", nn.initializers.zeros, (self.dim,), jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,), jnp.float32)
+        gx = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2), keepdims=True))
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        return (gamma * (x * nx.astype(x.dtype)) + beta + x).astype(x.dtype)
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    drop_path_prob: float = 0.0
+    layer_scale_init_value: float = 1e-6
+    use_grn: bool = False  # V2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        y = nn.Conv(
+            self.dim, (7, 7), padding=[(3, 3), (3, 3)], feature_group_count=self.dim,
+            kernel_init=trunc_normal(std=0.02), bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="dwconv",
+        )(x)
+        y = LayerNorm(features=self.dim, epsilon=1e-6, name="norm")(y)
+        y = nn.Dense(
+            4 * self.dim, kernel_init=trunc_normal(std=0.02),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="pwconv1",
+        )(y)
+        y = nn.gelu(y, approximate=False)
+        if self.use_grn:
+            y = GRN(4 * self.dim, name="grn")(y)
+        y = nn.Dense(
+            self.dim, kernel_init=trunc_normal(std=0.02),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="pwconv2",
+        )(y)
+        if not self.use_grn and self.layer_scale_init_value > 0:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim,),
+                jnp.float32,
+            )
+            y = y * gamma.astype(y.dtype)
+        y = DropPath(self.drop_path_prob, name="drop_path")(y, deterministic=not train)
+        return shortcut + y
+
+
+class ConvNeXt(nn.Module):
+    """Returns dict res2..res5 (strides 4/8/16/32). ``use_grn`` -> ConvNeXtV2."""
+
+    depths: Sequence[int] = (3, 3, 9, 3)
+    dims: Sequence[int] = (96, 192, 384, 768)
+    drop_path_rate: float = 0.0
+    layer_scale_init_value: float = 1e-6
+    use_grn: bool = False
+    out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dp_rates = np.linspace(0.0, self.drop_path_rate, sum(self.depths))
+        out = {}
+        cur = 0
+        for i in range(4):
+            if i == 0:
+                x = nn.Conv(
+                    self.dims[0], (4, 4), strides=(4, 4),
+                    kernel_init=trunc_normal(std=0.02),
+                    bias_init=nn.initializers.zeros, dtype=self.dtype,
+                    name="downsample0_conv",
+                )(x)
+                x = LayerNorm(features=self.dims[0], epsilon=1e-6, name="downsample0_norm")(x)
+            else:
+                x = LayerNorm(
+                    features=self.dims[i - 1], epsilon=1e-6, name=f"downsample{i}_norm"
+                )(x)
+                x = nn.Conv(
+                    self.dims[i], (2, 2), strides=(2, 2),
+                    kernel_init=trunc_normal(std=0.02),
+                    bias_init=nn.initializers.zeros, dtype=self.dtype,
+                    name=f"downsample{i}_conv",
+                )(x)
+            for j in range(self.depths[i]):
+                x = ConvNeXtBlock(
+                    dim=self.dims[i],
+                    drop_path_prob=float(dp_rates[cur + j]),
+                    layer_scale_init_value=self.layer_scale_init_value,
+                    use_grn=self.use_grn,
+                    dtype=self.dtype,
+                    name=f"stage{i}_block{j}",
+                )(x, train=train)
+            cur += self.depths[i]
+            stage_name = f"res{i + 2}"
+            if stage_name in self.out_features:
+                out[stage_name] = LayerNorm(
+                    features=self.dims[i], epsilon=1e-6, name=f"out_norm{i}"
+                )(x)
+        return out

@@ -130,17 +130,17 @@ class GroupNorm(nn.Module):
         return y.astype(self.dtype or orig_dtype)
 
 
-def get_norm(name: str | None, features: int, **kwargs) -> nn.Module | None:
+def get_norm(kind: str | None, features: int, **kwargs) -> nn.Module | None:
     """Norm factory mirroring the reference's ``get_norm``
     (`kmax_pixel_decoder.py:32-40`): 'syncbn' -> BatchNorm(eps=1e-3, m=0.01),
     'ln' -> channels-last LayerNorm, None/'none' -> identity (None here).
     """
-    if name is None or name.lower() == "none":
+    if kind is None or kind.lower() == "none":
         return None
-    if name.lower() == "syncbn" or name.lower() == "bn":
+    if kind.lower() in ("syncbn", "bn"):
         return BatchNorm(features=features, **kwargs)
-    if name.lower() == "ln":
+    if kind.lower() == "ln":
         return LayerNorm(features=features, epsilon=1e-6, **kwargs)
-    if name.lower() == "gn":
+    if kind.lower() == "gn":
         return GroupNorm(features=features, **kwargs)
-    raise ValueError(f"unknown norm {name!r}")
+    raise ValueError(f"unknown norm {kind!r}")
