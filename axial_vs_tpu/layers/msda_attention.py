@@ -1,0 +1,140 @@
+"""Multi-scale deformable attention module + encoder layer, channels-last.
+
+Re-designs the reference's ``MSDeformAttn`` nn.Module
+(`.../ops/modules/ms_deform_attn.py:34-125`: value/offset/weight/output
+projections with the directional-grid offset-bias init) and the deformable
+encoder layer (`.../within_clip_tracking_module/msdeformattn.py:177-216`).
+
+The reference always passes all-False padding masks (`msdeformattn.py:92`),
+so valid_ratios are 1 and reference points are the static per-level pixel
+centers — computed here in numpy at trace time.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.msda import ms_deform_attn
+from .trajectory_attention import _dense, xavier_uniform, torch_linear_bias_init
+from ..ops.norm import LayerNorm
+
+
+def reference_points_for_shapes(
+    spatial_shapes: Sequence[Tuple[int, int]]
+) -> np.ndarray:
+    """Static (S, L, 2) normalized (x, y) reference points: each flattened
+    token's own pixel center, replicated for every level
+    (ref `msdeformattn.py:229-242` with valid_ratios == 1)."""
+    pts = []
+    for h, w in spatial_shapes:
+        ys = (np.arange(h, dtype=np.float32) + 0.5) / h
+        xs = (np.arange(w, dtype=np.float32) + 0.5) / w
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        pts.append(np.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1))
+    ref = np.concatenate(pts, axis=0)  # (S, 2)
+    return np.broadcast_to(ref[:, None, :], (ref.shape[0], len(spatial_shapes), 2))
+
+
+def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
+    """Directional grid init for sampling-offset bias (ref :66-74)."""
+    thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], axis=-1)  # (M, 2)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+    bias = grid.reshape(-1)
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == bias.shape
+        return jnp.asarray(bias, dtype)
+
+    return init
+
+
+class MSDeformAttn(nn.Module):
+    d_model: int = 256
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, query, input_flatten, spatial_shapes, reference_points=None):
+        # query/input_flatten: (B, S, C); spatial_shapes static ((H,W),...)
+        b, lq, _ = query.shape
+        m, L, p = self.n_heads, self.n_levels, self.n_points
+        d = self.d_model // m
+
+        value = _dense(self.d_model, self.d_model, "value_proj", self.dtype)(
+            input_flatten
+        ).reshape(b, -1, m, d)
+
+        offsets = nn.Dense(
+            m * L * p * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_offset_bias_init(m, L, p),
+            dtype=self.dtype,
+            name="sampling_offsets",
+        )(query).reshape(b, lq, m, L, p, 2)
+        weights = nn.Dense(
+            m * L * p,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="attention_weights",
+        )(query).reshape(b, lq, m, L * p)
+        weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1).reshape(
+            b, lq, m, L, p
+        ).astype(query.dtype)
+
+        if reference_points is None:
+            reference_points = jnp.asarray(reference_points_for_shapes(spatial_shapes))
+        if reference_points.ndim == 3:
+            reference_points = reference_points[None]
+        normalizer = jnp.asarray(
+            [[w, h] for h, w in spatial_shapes], jnp.float32
+        )  # (L, 2) as (x, y) divisors
+        locations = (
+            reference_points[:, :, None, :, None, :]
+            + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
+        )
+
+        out = ms_deform_attn(value, spatial_shapes, locations, weights)
+        return _dense(self.d_model, self.d_model, "output_proj", self.dtype)(out)
+
+
+class MSDeformAttnEncoderLayer(nn.Module):
+    """Deformable self-attention + FFN over flattened multi-level tokens
+    (ref `msdeformattn.py:177-216`)."""
+
+    d_model: int = 256
+    d_ffn: int = 1024
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+    dropout: float = 0.0
+    activation: str = "relu"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, src, pos, spatial_shapes, train: bool = False):
+        attn = MSDeformAttn(
+            d_model=self.d_model, n_levels=self.n_levels, n_heads=self.n_heads,
+            n_points=self.n_points, dtype=self.dtype, name="self_attn",
+        )(src + pos.astype(src.dtype), src, spatial_shapes)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=not train)
+        src = LayerNorm(features=self.d_model, epsilon=1e-5, name="norm1")(src + attn)
+
+        y = _dense(self.d_ffn, self.d_model, "linear1", self.dtype)(src)
+        y = nn.relu(y) if self.activation == "relu" else nn.gelu(y, approximate=False)
+        y = nn.Dropout(self.dropout)(y, deterministic=not train)
+        y = _dense(self.d_model, self.d_ffn, "linear2", self.dtype)(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=not train)
+        src = LayerNorm(features=self.d_model, epsilon=1e-5, name="norm2")(src + y)
+        return src

@@ -1,0 +1,152 @@
+"""kMaX-DeepLab / MaXTron segmenter module + builder.
+
+The nn.Module covers both the image meta-arch (`kmax_deeplab/kmax_model.py`,
+`kMaXDeepLab`) and the within-clip video meta-arch
+(`maxtron_deeplab/maxtron_wc_model.py`, `MaXTronWCDeepLab`): the only
+difference in the network itself is ``num_frames`` (clip folding in the
+transformer decoder) and the optional within-clip tracking module between
+backbone and pixel decoder (`maxtron_deeplab/modeling/meta_arch/
+maxtron_deeplab_head.py:25-92`).
+
+Pre-processing (normalize/pad) and post-processing (resize + panoptic
+argmax) live in ``pipeline.py`` / ``postprocess.py`` as pure jit-able
+functions; this module is pure network.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .pixel_decoder import KMaXPixelDecoder
+from .transformer_decoder import KMaXTransformerDecoder
+
+
+class KMaXSegmenter(nn.Module):
+    """backbone -> (optional WC module) -> pixel decoder -> transformer decoder."""
+
+    backbone: nn.Module
+    num_classes: int
+    wc_module: Optional[nn.Module] = None
+    pixel_dec_layers: Sequence[int] = (1, 5, 1, 1)
+    pixel_dec_channels: Sequence[int] = (512, 256, 128, 64)
+    pixel_dec_layer_types: Sequence[str] = ("axial", "axial", "bottleneck", "bottleneck")
+    pixel_dec_in_features: Sequence[str] = ("res5", "res4", "res3", "res2")
+    pixel_drop_path_prob: float = 0.0
+    trans_dec_layers: Sequence[int] = (2, 2, 2)
+    num_queries: int = 128
+    trans_drop_path_prob: float = 0.0
+    add_aux_semantic_pred: bool = False
+    use_aux_semantic_decoder: bool = True
+    spatial_shape: tuple = (1281, 1281)
+    num_frames: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, images, train: bool = False):
+        # images: (B*T, H, W, 3), already normalized & padded to spatial_shape.
+        features = self.backbone(images, train=train)
+        if self.wc_module is not None:
+            features, height_attn, width_attn = self.wc_module(features, train=train)
+        pano, sem, ms = KMaXPixelDecoder(
+            in_features=tuple(self.pixel_dec_in_features),
+            dec_layers=tuple(self.pixel_dec_layers),
+            dec_channels=tuple(self.pixel_dec_channels),
+            layer_types=tuple(self.pixel_dec_layer_types),
+            drop_path_prob=self.pixel_drop_path_prob,
+            spatial_shape=tuple(self.spatial_shape),
+            dtype=self.dtype,
+            name="pixel_decoder",
+        )(features, train=train)
+        out = KMaXTransformerDecoder(
+            num_classes=self.num_classes,
+            dec_layers=tuple(self.trans_dec_layers),
+            num_queries=self.num_queries,
+            drop_path_prob=self.trans_drop_path_prob,
+            add_aux_semantic_pred=self.add_aux_semantic_pred,
+            use_aux_semantic_decoder=self.use_aux_semantic_decoder,
+            num_frames=self.num_frames,
+            dtype=self.dtype,
+            name="transformer_decoder",
+        )(ms, pano, sem, train=train)
+        return out
+
+
+def build_backbone(cfg, dtype=None):
+    from .backbones.resnet import ResNet
+    from .backbones.convnext import ConvNeXt
+
+    name = cfg.model.backbone.name
+    out_features = tuple(cfg.model.backbone.out_features)
+    if name.startswith("resnet"):
+        return ResNet(
+            depth=cfg.model.backbone.resnet.depth,
+            out_features=out_features,
+            dtype=dtype,
+            name="backbone",
+        )
+    if name.startswith("convnext"):
+        c = cfg.model.backbone.convnext
+        return ConvNeXt(
+            depths=tuple(c.depths),
+            dims=tuple(c.dims),
+            drop_path_rate=c.drop_path_rate,
+            layer_scale_init_value=c.layer_scale_init_value,
+            use_grn=bool(c.use_grn),
+            out_features=out_features,
+            dtype=dtype,
+            name="backbone",
+        )
+    raise ValueError(f"unknown backbone {name!r}")
+
+
+def build_segmenter(cfg, num_frames: int | None = None, train: bool = False):
+    """Build the (image or video) kMaX segmenter from a config tree."""
+    dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else None
+    backbone = build_backbone(cfg, dtype=dtype)
+
+    wc_module = None
+    if cfg.model.maxtron.wc.enable:
+        from .wc_module import WithinClipTrackingModule
+
+        w = cfg.model.maxtron.wc
+        wc_module = WithinClipTrackingModule(
+            conv_dims=w.conv_dims,
+            nheads=w.nheads,
+            dim_feedforward=w.dim_feedforward,
+            num_stages=w.num_stages,
+            spatial_layers=w.spatial_layers,
+            temporal_layers=w.temporal_layers,
+            temporal_attn_type=w.temporal_attn_type,
+            spatial_in_features=tuple(w.spatial_in_features),
+            temporal_in_features=tuple(w.temporal_in_features),
+            enc_n_points=w.enc_n_points,
+            dropout=w.dropout,
+            attn_drop=w.attn_drop,
+            num_frames=num_frames or cfg.input.num_clip_frames,
+            dtype=dtype,
+            name="wc_module",
+        )
+
+    kmax = cfg.model.kmax
+    # in_features sorted low->high resolution (res5 first)
+    in_features = tuple(sorted(kmax.pixel_dec.in_features, reverse=True))
+    return KMaXSegmenter(
+        backbone=backbone,
+        wc_module=wc_module,
+        num_classes=cfg.model.num_classes,
+        pixel_dec_layers=tuple(kmax.pixel_dec.dec_layers),
+        pixel_dec_channels=tuple(kmax.pixel_dec.dec_channels),
+        pixel_dec_layer_types=tuple(kmax.pixel_dec.layer_types),
+        pixel_dec_in_features=in_features,
+        pixel_drop_path_prob=kmax.pixel_dec.drop_path_prob,
+        trans_dec_layers=tuple(kmax.trans_dec.dec_layers),
+        num_queries=kmax.trans_dec.num_object_queries,
+        trans_drop_path_prob=kmax.trans_dec.drop_path_prob,
+        add_aux_semantic_pred=(kmax.aux_semantic_weight > 0) and train,
+        use_aux_semantic_decoder=kmax.use_aux_semantic_decoder,
+        spatial_shape=tuple(cfg.input.image_size),
+        num_frames=num_frames or 1,
+        dtype=dtype,
+    )

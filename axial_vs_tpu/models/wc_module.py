@@ -1,0 +1,156 @@
+"""Within-clip tracking module: interleaved MSDA + axial-trajectory encoder.
+
+Re-designs `maxtron_deeplab/modeling/within_clip_tracking_module/
+{maxtron_within_clip_tracking_module.py:15-69, msdeformattn.py:34-436}`:
+
+Per stage: one spatial MSDeformAttn layer over the flattened L-level tokens
+(batched over B*T frames), then a TemporalEncoder (axial-trajectory
+attention) applied to the first ``num_temporal_levels`` (lowest-resolution)
+levels. Levels enter through per-level 1x1 conv + GroupNorm input
+projections and leave through matching output projections; 2-D sine + level
+embeddings position the spatial attention, per-frame 3-D sine + 3-D level
+embeddings position the temporal attention. The updated levels overwrite the
+corresponding entries of the backbone feature dict.
+
+Covers both the video module (V10) and the image "kMaX + MSDA" pretrain
+variant (V28: ``temporal_layers == 0`` -> spatial-only).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..layers.msda_attention import MSDeformAttnEncoderLayer
+from ..layers.position_embeddings import (
+    position_embedding_sine_2d,
+    position_embedding_sine_3d,
+)
+from ..layers.trajectory_attention import TemporalEncoder
+from ..ops.norm import GroupNorm
+
+
+class _ProjGN(nn.Module):
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(
+            self.features, (1, 1),
+            kernel_init=nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="conv",
+        )(x)
+        return GroupNorm(features=self.features, num_groups=32, name="norm")(y)
+
+
+class WithinClipTrackingModule(nn.Module):
+    conv_dims: int = 256
+    nheads: int = 8
+    dim_feedforward: int = 1024
+    num_stages: int = 2
+    spatial_layers: int = 2
+    temporal_layers: int = 4
+    temporal_attn_type: str = "axial_trajectory"
+    spatial_in_features: Sequence[str] = ("res3", "res4", "res5")
+    temporal_in_features: Sequence[str] = ("res4", "res5")
+    enc_n_points: int = 4
+    dropout: float = 0.0
+    attn_drop: float = 0.0
+    num_frames: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, features: dict, train: bool = False, return_attn: bool = False):
+        # iterate levels low->high resolution (res5 first), ref msdeformattn.py:413
+        levels = sorted(self.spatial_in_features, reverse=True)
+        num_levels = len(levels)
+        num_temporal_levels = len(self.temporal_in_features)
+        t = self.num_frames
+        c = self.conv_dims
+
+        srcs = []
+        shapes = []
+        for i, name in enumerate(levels):
+            x = features[name]
+            srcs.append(_ProjGN(c, dtype=self.dtype, name=f"input_proj{i}")(x))
+            shapes.append((x.shape[1], x.shape[2]))
+        bt = srcs[0].shape[0]
+        b = bt // t
+
+        level_embed_2d = self.param(
+            "level_embed_2d", nn.initializers.normal(1.0), (num_levels, c), jnp.float32
+        )
+        level_embed_3d = self.param(
+            "level_embed_3d", nn.initializers.normal(1.0),
+            (num_temporal_levels, c), jnp.float32,
+        ) if self.temporal_layers > 0 else None
+
+        # flattened 2-D positions + level embeddings (static numpy)
+        pos_parts = []
+        for i, (h, w) in enumerate(shapes):
+            p2 = position_embedding_sine_2d(h, w, num_pos_feats=c // 2).reshape(-1, c)
+            pos_parts.append(jnp.asarray(p2) + level_embed_2d[i])
+        pos_flat = jnp.concatenate(pos_parts, axis=0)  # (S, C)
+
+        pos_3d = []
+        if self.temporal_layers > 0:
+            for i in range(num_temporal_levels):
+                h, w = shapes[i]
+                p3 = jnp.asarray(
+                    position_embedding_sine_3d(t, h, w, num_pos_feats=c // 2)
+                ) + level_embed_3d[i]
+                pos_3d.append(p3)  # (T, H, W, C)
+
+        src_flat = jnp.concatenate(
+            [s.reshape(bt, -1, c) for s in srcs], axis=1
+        )  # (B*T, S, C)
+
+        h_attn = w_attn = None
+        sizes = [h * w for h, w in shapes]
+        temporal_per_stage = (
+            self.temporal_layers // self.num_stages if self.temporal_layers else 0
+        )
+        for stage in range(self.num_stages):
+            if self.spatial_layers > 0:
+                src_flat = MSDeformAttnEncoderLayer(
+                    d_model=c, d_ffn=self.dim_feedforward, n_levels=num_levels,
+                    n_heads=self.nheads, n_points=self.enc_n_points,
+                    dropout=self.dropout, dtype=self.dtype,
+                    name=f"spatial_layer{stage}",
+                )(src_flat, pos_flat, tuple(shapes), train=train)
+            if self.temporal_layers > 0:
+                # ONE temporal encoder per stage, shared across the temporal
+                # levels within it (the reference clones per stage only,
+                # msdeformattn.py:226-227,261-263)
+                encoder = TemporalEncoder(
+                    d_model=c, d_ffn=self.dim_feedforward,
+                    num_heads=self.nheads, num_layers=temporal_per_stage,
+                    temporal_attn_type=self.temporal_attn_type,
+                    dtype=self.dtype, name=f"temporal_encoder{stage}",
+                )
+                parts = []
+                offset = 0
+                for i, size in enumerate(sizes):
+                    piece = src_flat[:, offset : offset + size]
+                    offset += size
+                    if i < num_temporal_levels:
+                        piece, h_attn, w_attn = encoder(
+                            piece, pos_3d[i], num_frames=t,
+                            height=shapes[i][0], width=shapes[i][1],
+                            train=train, return_attn=return_attn,
+                        )
+                    parts.append(piece)
+                src_flat = jnp.concatenate(parts, axis=1)
+
+        out = dict(features)
+        offset = 0
+        for i, (name, (h, w)) in enumerate(zip(levels, shapes)):
+            piece = src_flat[:, offset : offset + h * w].reshape(bt, h, w, c)
+            offset += h * w
+            out[name] = _ProjGN(
+                features[name].shape[-1], dtype=self.dtype, name=f"output_proj{i}"
+            )(piece)
+        return out, h_attn, w_attn
