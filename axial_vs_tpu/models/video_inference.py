@@ -1,0 +1,176 @@
+"""Near-online (within-clip) video inference pipeline.
+
+Re-designs the eval path of `maxtron_deeplab/maxtron_wc_model.py:278-400`:
+
+1. host: aspect-preserving downscale (never upscale) + bottom/right zero-pad
+   of normalized frames to the fixed config size (ref :224-248) — torch-exact
+   bilinear, numpy;
+2. device (jit, one compile per config): per-clip backbone + WC module +
+   video transformer decoder -> (class logits, clip mask logits at OS4,
+   per-slot mask embeddings);
+3. host: ``video-wise`` stitching — Hungarian alignment of consecutive
+   clips on normalized mask-embedding cosine cost (ref :337-350, 391-400),
+   logit averaging;
+4. device (jit, one compile per distinct original video resolution):
+   upsample mask logits to padded size, crop the scaled region, resize to
+   the original resolution, run the vectorized panoptic scan, and remap to
+   dataset ids (VIPSeg evaluator format).
+
+The clip loop runs in python but every clip launch is a single async device
+call — the host stitching of clip t overlaps the device compute of clip t+1.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from ..ops.resize import resize_bilinear, resize_bilinear_np
+from .postprocess import panoptic_inference, remap_panoptic_to_dataset_ids
+
+
+def preprocess_frames(frames, pixel_mean, pixel_std, target_size):
+    """frames: (T, H, W, 3) uint8/float numpy. Returns (images (T, Ht, Wt, 3)
+    float32, scaled_h, scaled_w, scale_factor)."""
+    t, h, w, _ = frames.shape
+    th, tw = target_size
+    align_corners = tw % 2 == 1
+    x = (frames.astype(np.float32) - np.asarray(pixel_mean, np.float32)) / np.asarray(
+        pixel_std, np.float32
+    )
+    scale = min(th / h, tw / w)
+    scaled_h, scaled_w = h, w
+    if scale < 1:
+        if tw / w <= th / h:
+            scaled_w, scaled_h = tw, round(h * scale)
+        else:
+            scaled_h, scaled_w = th, round(w * scale)
+        x = resize_bilinear_np(x, (scaled_h, scaled_w), align_corners=align_corners)
+    out = np.zeros((t, th, tw, 3), np.float32)
+    out[:, :scaled_h, :scaled_w] = x
+    return out, scaled_h, scaled_w, min(scale, 1.0)
+
+
+def match_from_embds(tgt_embds: np.ndarray, cur_embds: np.ndarray) -> np.ndarray:
+    """Permutation aligning current clip's slots to the previous clip's,
+    by cosine cost (ref :391-400)."""
+    cur = cur_embds / np.linalg.norm(cur_embds, axis=1, keepdims=True)
+    tgt = tgt_embds / np.linalg.norm(tgt_embds, axis=1, keepdims=True)
+    cost = 1 - cur @ tgt.T  # (cur, tgt)
+    _, col = linear_sum_assignment(cost.T)  # target x current
+    return col
+
+
+class WCInferencePipeline:
+    """Video-wise MaXTron WC inference: clips -> stitched whole-video panoptic."""
+
+    def __init__(self, module, variables, *, num_clip_frames, input_size,
+                 pixel_mean, pixel_std, thing_class_mask,
+                 contiguous_to_dataset_id, label_divisor=10000,
+                 pixel_confidence_threshold=0.3, class_threshold_thing=0.2,
+                 class_threshold_stuff=0.3, overlap_threshold=0.8,
+                 reorder_class_weight=1.0, reorder_mask_weight=1.0):
+        self.module = module
+        self.variables = variables
+        self.num_clip_frames = num_clip_frames
+        self.input_size = tuple(input_size)
+        self.pixel_mean = pixel_mean
+        self.pixel_std = pixel_std
+        self.thing_class_mask = jnp.asarray(thing_class_mask)
+        self.cont2ds = jnp.asarray(contiguous_to_dataset_id, jnp.int32)
+        self.label_divisor = label_divisor
+        self.pp = dict(
+            pixel_confidence_threshold=pixel_confidence_threshold,
+            class_threshold_thing=class_threshold_thing,
+            class_threshold_stuff=class_threshold_stuff,
+            overlap_threshold=overlap_threshold,
+            reorder_class_weight=reorder_class_weight,
+            reorder_mask_weight=reorder_mask_weight,
+        )
+
+        @jax.jit
+        def clip_forward(images):
+            out = module.apply(variables, images, train=False)
+            # (1, T, h4, w4, N) -> (T, h4, w4, N)
+            return (
+                out["pred_logits"][0],
+                out["pred_masks"][0],
+                out["pred_mask_embeddings"][0],
+            )
+
+        self._clip_forward = clip_forward
+        self._finalize_cache = {}
+
+    def _finalize_fn(self, scaled_hw, orig_hw):
+        key = (scaled_hw, orig_hw)
+        if key not in self._finalize_cache:
+            th, tw = self.input_size
+            align_corners = tw % 2 == 1
+            pp = dict(self.pp)
+            thing_mask = self.thing_class_mask
+            cont2ds = self.cont2ds
+            divisor = self.label_divisor
+
+            @jax.jit
+            def finalize(mask_cls, masks):
+                # masks: (T, h4, w4, N) stitched over the whole video
+                masks = resize_bilinear(masks, (th, tw), align_corners=align_corners)
+                masks = masks[:, : scaled_hw[0], : scaled_hw[1]]
+                if scaled_hw != orig_hw:
+                    masks = resize_bilinear(masks, orig_hw, align_corners=align_corners)
+                result = panoptic_inference(mask_cls, masks, thing_mask, **pp)
+                ids, _ = remap_panoptic_to_dataset_ids(result, cont2ds, divisor)
+                return ids, result
+
+            self._finalize_cache[key] = finalize
+        return self._finalize_cache[key]
+
+    def run_video(self, frames: np.ndarray, orig_hw=None):
+        """frames: (V, H, W, 3) uint8 numpy (whole video, any length).
+
+        Returns (panoptic_ids (V, H', W') int32 numpy, PanopticOutput,
+        per-slot embeddings numpy) with H', W' the original resolution.
+        """
+        v = frames.shape[0]
+        t = self.num_clip_frames
+        orig_hw = orig_hw or (frames.shape[1], frames.shape[2])
+
+        images, scaled_h, scaled_w, _ = preprocess_frames(
+            frames, self.pixel_mean, self.pixel_std, self.input_size
+        )
+
+        num_clips = math.ceil(v / t)
+        logits_list, masks_list, embds_list = [], [], []
+        for ci in range(num_clips):
+            idx = [min(ci * t + k, v - 1) for k in range(t)]
+            clip = jnp.asarray(images[idx])
+            logits, masks, embds = self._clip_forward(clip)
+            logits_list.append(logits)
+            masks_list.append(masks)
+            embds_list.append(np.asarray(embds))
+
+        # Hungarian stitching on mask-embedding cosine (host; overlaps device)
+        perms = [np.arange(embds_list[0].shape[0])]
+        matched_embds = [embds_list[0]]
+        for i in range(1, num_clips):
+            perm = match_from_embds(matched_embds[-1], embds_list[i])
+            perms.append(perm)
+            matched_embds.append(embds_list[i][perm])
+
+        # Keep the full (padded) tube through panoptic inference — the
+        # reference's reorder/overlap statistics run over the repeated tail
+        # frames too (ref :337-366) — and trim the id map afterwards.
+        stitched_masks = jnp.concatenate(
+            [m[..., jnp.asarray(p)] for m, p in zip(masks_list, perms)], axis=0
+        )
+        avg_logits = sum(
+            l[jnp.asarray(p)] for l, p in zip(logits_list, perms)
+        ) / num_clips
+
+        finalize = self._finalize_fn((scaled_h, scaled_w), tuple(orig_hw))
+        ids, result = finalize(avg_logits, stitched_masks)
+        return np.asarray(ids)[:v], jax.tree.map(np.asarray, result), matched_embds[0]

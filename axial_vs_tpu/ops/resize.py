@@ -74,3 +74,21 @@ def resize_trilinear(x, size, align_corners: bool = False, axes=(-4, -3, -2)):
         axis = axis % x.ndim
         x = _interp_axis(x, axis, x.shape[axis], int(out), align_corners)
     return x
+
+
+def resize_bilinear_np(x: np.ndarray, size, align_corners: bool = False) -> np.ndarray:
+    """Host (numpy) version of ``resize_bilinear`` for data preprocessing —
+    same torch-exact coordinate rules, (..., H, W, C) layout."""
+    out_h, out_w = int(size[0]), int(size[1])
+    for axis, out in ((x.ndim - 3, out_h), (x.ndim - 2, out_w)):
+        aw = _axis_weights(x.shape[axis], out, align_corners)
+        if aw is None:
+            continue
+        lo, hi, w_hi = aw
+        x_lo = np.take(x, lo, axis=axis)
+        x_hi = np.take(x, hi, axis=axis)
+        shape = [1] * x.ndim
+        shape[axis] = out
+        w = w_hi.reshape(shape).astype(x.dtype)
+        x = x_lo * (1 - w) + x_hi * w
+    return x

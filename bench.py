@@ -1,0 +1,93 @@
+"""Benchmark: MaXTron within-clip VIPSeg inference throughput on one chip.
+
+Measures steady-state frames/sec of the jitted clip-inference step
+(backbone + WC module + video transformer decoder) for the north-star config
+(BASELINE.json): ConvNeXt-L backbone, 2-frame clips, VIPSeg input 769x1345,
+bf16 compute.
+
+``vs_baseline``: the reference publishes no throughput numbers
+(BASELINE.md). We anchor against an estimated 6.0 frames/sec for the
+reference's ConvNeXt-L within-clip pipeline on one A100-class GPU (kMaX-
+DeepLab R50 runs ~20 fps at 1281^2 on V100 per deeplab2; ConvNeXt-L at
+769x1345 with the WC module lands ~5-8 fps). vs_baseline = fps / 6.0, so
+>= 5.0 meets the >=5x north star.
+
+Prints ONE JSON line.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+ASSUMED_REFERENCE_FPS = 6.0
+
+
+def main():
+    backbone = "convnext_large"
+    image_size = (769, 1345)
+    clip_frames = 2
+    iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 10
+    if "--small" in sys.argv:  # quick self-test path
+        backbone = "resnet50"
+        image_size = (129, 129)
+        iters = 3
+
+    import jax
+    import jax.numpy as jnp
+
+    from axial_vs_tpu.config import get_default_config
+    from axial_vs_tpu.models.kmax import build_segmenter
+
+    cfg = get_default_config()
+    cfg.model.backbone.name = backbone
+    if backbone == "convnext_large":
+        cfg.model.backbone.convnext.depths = [3, 3, 27, 3]
+        cfg.model.backbone.convnext.dims = [192, 384, 768, 1536]
+        cfg.model.backbone.convnext.drop_path_rate = 0.0
+    cfg.model.num_classes = 124
+    cfg.model.dtype = "bfloat16"
+    cfg.input.image_size = list(image_size)
+    cfg.input.num_clip_frames = clip_frames
+    cfg.model.maxtron.wc.enable = True
+
+    module = build_segmenter(cfg, num_frames=clip_frames, train=False)
+    rng = jax.random.PRNGKey(0)
+    images = jnp.asarray(
+        np.random.RandomState(0)
+        .randn(clip_frames, *image_size, 3)
+        .astype(np.float32)
+    )
+    variables = module.init(rng, images, train=False)
+
+    @jax.jit
+    def clip_forward(images):
+        out = module.apply(variables, images, train=False)
+        return out["pred_logits"], out["pred_masks"], out["pred_mask_embeddings"]
+
+    # warmup/compile
+    out = clip_forward(images)
+    jax.block_until_ready(out)
+
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = clip_forward(images)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    fps = clip_frames * iters / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "VIPSeg within-clip inference frames/sec/chip "
+                f"({backbone}, {image_size[0]}x{image_size[1]}, T={clip_frames}, bf16)",
+                "value": round(fps, 3),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / ASSUMED_REFERENCE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
