@@ -1,0 +1,85 @@
+"""Training data loader: background workers + device prefetch.
+
+Replaces the reference's detectron2/mmdet dataloader stack with a simple
+thread-pool pipeline feeding the jit'd train step: workers run the mapper
+(decode, augment, target building — pure numpy), a bounded queue keeps
+``prefetch`` batches ready, and ``device_prefetch`` overlaps host->HBM
+transfer with device compute by keeping one batch in flight.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+
+
+def _stack_tree(samples):
+    first = samples[0]
+    if isinstance(first, dict):
+        return {k: _stack_tree([s[k] for s in samples]) for k in first}
+    return np.stack(samples)
+
+
+class ClipDataLoader:
+    """Infinite sampler over a video dataset with mapper workers."""
+
+    def __init__(self, dataset: Sequence, mapper: Callable, batch_size: int,
+                 num_workers: int = 4, prefetch: int = 2, seed: int = 0):
+        self.dataset = dataset
+        self.mapper = mapper
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._threads = []
+
+    def _worker(self, wid: int):
+        rng = np.random.RandomState(self.seed * 1000 + wid)
+        n = len(self.dataset)
+        while not self._stop.is_set():
+            idxs = rng.randint(0, n, self.batch_size)
+            samples = [self.mapper(self.dataset[i], dataset=self.dataset) for i in idxs]
+            batch = _stack_tree(samples)
+            # flatten (B, T, H, W, 3) -> (B*T, H, W, 3) for the model
+            imgs = batch["images"]
+            batch["images"] = imgs.reshape(-1, *imgs.shape[2:])
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator:
+        if not self._threads:
+            for wid in range(self.num_workers):
+                th = threading.Thread(target=self._worker, args=(wid,), daemon=True)
+                th.start()
+                self._threads.append(th)
+        while True:
+            yield self._queue.get()
+
+    def close(self):
+        self._stop.set()
+
+
+def device_prefetch(iterator, placement_fn, depth: int = 1):
+    """Keep ``depth`` batches already transferred to device."""
+    import collections
+
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            buf.append(placement_fn(next(it)))
+        while True:
+            nxt = placement_fn(next(it))
+            yield buf.popleft()
+            buf.append(nxt)
+    except StopIteration:
+        while buf:
+            yield buf.popleft()

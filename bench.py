@@ -58,7 +58,19 @@ def main():
         .randn(clip_frames, *image_size, 3)
         .astype(np.float32)
     )
-    variables = module.init(rng, images, train=False)
+    # build parameters WITHOUT compiling the init program (compiles are slow
+    # over the axon tunnel): eval_shape + host-filled random values.
+    shapes = jax.eval_shape(lambda: module.init(rng, images, train=False))
+    host_rng = np.random.RandomState(0)
+
+    def _fill(s):
+        # positive values keep BN variances valid; magnitudes are irrelevant
+        # for throughput measurement
+        return jnp.asarray(
+            host_rng.uniform(0.02, 0.5, s.shape).astype(np.float32), dtype=s.dtype
+        )
+
+    variables = jax.tree.map(_fill, shapes)
 
     @jax.jit
     def clip_forward(images):

@@ -1,0 +1,118 @@
+"""Data pipeline tests on a synthetic VIPSeg-format dataset."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from axial_vs_tpu.data.panoptic_utils import rgb2id, id2rgb
+from axial_vs_tpu.data.vipseg import (
+    load_vipseg_video_json, register_vipseg_video, VIPSegClipMapper,
+)
+from axial_vs_tpu.data.catalog import DatasetCatalog
+from axial_vs_tpu.data.loader import ClipDataLoader
+from axial_vs_tpu.data.transforms import build_train_transforms
+
+
+def test_rgb_id_roundtrip(rng):
+    ids = rng.randint(0, 2 ** 24, (13, 17)).astype(np.int32)
+    np.testing.assert_array_equal(rgb2id(id2rgb(ids)), ids)
+
+
+@pytest.fixture
+def synthetic_vipseg(tmp_path):
+    img_root = tmp_path / "imgs"
+    pan_root = tmp_path / "pans"
+    videos = []
+    rng = np.random.RandomState(0)
+    for vid in range(2):
+        video_id = f"video{vid}"
+        (img_root / video_id).mkdir(parents=True)
+        (pan_root / video_id).mkdir(parents=True)
+        images, annotations = [], []
+        # segments: id 1 = thing (moving box), id 2 = stuff (background)
+        for f in range(4):
+            img = rng.randint(0, 255, (40, 60, 3), np.uint8)
+            Image.fromarray(img).save(img_root / video_id / f"f{f}.jpg")
+            pan = np.full((40, 60), 2, np.int32)
+            x0 = 5 + 3 * f
+            pan[10:25, x0 : x0 + 12] = 1
+            Image.fromarray(id2rgb(pan)).save(pan_root / video_id / f"f{f}.png")
+            images.append(dict(id=f"{video_id}_f{f}", file_name=f"f{f}.jpg",
+                               height=40, width=60))
+            annotations.append(
+                dict(
+                    image_id=f"{video_id}_f{f}",
+                    file_name=f"f{f}.png",
+                    segments_info=[
+                        dict(id=1, category_id=3, isthing=True, iscrowd=0),
+                        dict(id=2, category_id=7, isthing=False, iscrowd=0),
+                    ],
+                )
+            )
+        videos.append(dict(video_id=video_id, images=images, annotations=annotations))
+    data = dict(videos=videos, categories=[
+        dict(id=3, name="thing", isthing=1), dict(id=7, name="stuff", isthing=0)
+    ])
+    json_path = tmp_path / "train.json"
+    json_path.write_text(json.dumps(data))
+    return str(img_root), str(pan_root), str(json_path)
+
+
+def test_load_and_map(synthetic_vipseg):
+    img_root, pan_root, json_path = synthetic_vipseg
+    videos, cats = load_vipseg_video_json(json_path, img_root, pan_root)
+    assert len(videos) == 2 and len(videos[0]["frames"]) == 4
+
+    mapper = VIPSegClipMapper(
+        image_size=(48, 64), num_frames=2, max_instances=8, copy_paste=False, seed=1
+    )
+    sample = mapper(videos[0])
+    assert sample["images"].shape == (2, 48, 64, 3)
+    t = sample["targets"]
+    assert t["masks"].shape == (8, 2, 12, 16)
+    assert t["valid"].sum() >= 1
+    # labels of valid slots are the category ids {3, 7}
+    assert set(t["labels"][t["valid"]].tolist()) <= {3, 7}
+    # semantic map only contains -1 and the two classes
+    assert set(np.unique(t["semantic_masks"]).tolist()) <= {-1, 3, 7}
+
+
+def test_copy_paste_and_loader(synthetic_vipseg):
+    img_root, pan_root, json_path = synthetic_vipseg
+    videos, _ = load_vipseg_video_json(json_path, img_root, pan_root)
+    mapper = VIPSegClipMapper(
+        image_size=(48, 64), num_frames=2, max_instances=8, copy_paste=True, seed=2
+    )
+    loader = ClipDataLoader(videos, mapper, batch_size=2, num_workers=1, prefetch=1)
+    it = iter(loader)
+    batch = next(it)
+    loader.close()
+    assert batch["images"].shape == (4, 48, 64, 3)
+    assert batch["targets"]["masks"].shape == (2, 8, 2, 12, 16)
+    assert np.isfinite(batch["images"]).all()
+
+
+def test_transform_replay_consistency(rng):
+    tfm = build_train_transforms((32, 48), 0.5, 1.5)
+    img0 = rng.randint(0, 255, (40, 60, 3), np.uint8)
+    img1 = img0.copy()
+    tfm.sample(np.random.RandomState(3), (40, 60))
+    out0 = tfm.apply_image(img0)
+    out1 = tfm.apply_image(img1)
+    np.testing.assert_array_equal(out0, out1)
+    seg = rng.randint(0, 5, (40, 60)).astype(np.int32)
+    seg_out = tfm.apply_segmentation(seg)
+    assert seg_out.shape == out0.shape[:2]
+    # nearest resampling preserves the label set
+    assert set(np.unique(seg_out)) <= set(np.unique(seg))
+
+
+def test_register(synthetic_vipseg):
+    img_root, pan_root, json_path = synthetic_vipseg
+    name = "test_vipseg_train"
+    if name not in DatasetCatalog:
+        register_vipseg_video(name, img_root, pan_root, json_path)
+    videos = DatasetCatalog.get(name)
+    assert len(videos) == 2
