@@ -1,0 +1,187 @@
+"""Torch checkpoint -> flax parameter conversion (weight surgery, V25).
+
+Covers the reference's converter scripts
+(`convert-pretrained-model-to-d2.py`, `prepare_cc_weights.py:17-22`) the TPU
+way: maps well-known torch state_dict layouts into this framework's param
+trees.
+
+Conventions: torch Conv2d weight (O, I, kh, kw) -> flax HWIO (kh, kw, I, O);
+Conv1d (O, I, k) -> (k, I, O); Linear (O, I) -> (I, O); BatchNorm
+weight/bias/running_mean/running_var -> scale/bias + batch_stats mean/var.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def conv_w(w) -> np.ndarray:
+    w = np.asarray(w)
+    if w.ndim == 4:  # OIHW -> HWIO
+        return w.transpose(2, 3, 1, 0)
+    if w.ndim == 3:  # OIk -> kIO
+        return w.transpose(2, 1, 0)
+    raise ValueError(w.shape)
+
+
+def linear_w(w) -> np.ndarray:
+    return np.asarray(w).T
+
+
+def _bn(sd, prefix):
+    return (
+        {"scale": np.asarray(sd[f"{prefix}.weight"]),
+         "bias": np.asarray(sd[f"{prefix}.bias"])},
+        {"mean": np.asarray(sd[f"{prefix}.running_mean"]),
+         "var": np.asarray(sd[f"{prefix}.running_var"])},
+    )
+
+
+def convert_torchvision_resnet(sd: Dict, depth: int = 50):
+    """torchvision-format ResNet state_dict -> (params, batch_stats) matching
+    models/backbones/resnet.py naming. (The reference initializes from
+    detectron2's torchvision R-50 pickle, `maxtron_wc_r50.yaml:6`.)"""
+    blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 18: (2, 2, 2, 2),
+              34: (3, 4, 6, 3), 152: (3, 8, 36, 3)}[depth]
+    params, stats = {}, {}
+
+    def put(name, conv_key, bn_key):
+        p_bn, s_bn = _bn(sd, bn_key)
+        params[name] = {
+            "conv": {"kernel": conv_w(sd[f"{conv_key}.weight"])},
+            "norm": p_bn,
+        }
+        stats[name] = {"norm": s_bn}
+
+    put("stem", "conv1", "bn1")
+    use_basic = depth in (18, 34)
+    for li, stage in enumerate(("res2", "res3", "res4", "res5")):
+        for b in range(blocks[li]):
+            t = f"layer{li + 1}.{b}"
+            name = f"{stage}_block{b}"
+            params[name] = {}
+            stats[name] = {}
+            n_convs = 2 if use_basic else 3
+            for ci in range(1, n_convs + 1):
+                p_bn, s_bn = _bn(sd, f"{t}.bn{ci}")
+                params[name][f"conv{ci}"] = {
+                    "conv": {"kernel": conv_w(sd[f"{t}.conv{ci}.weight"])},
+                    "norm": p_bn,
+                }
+                stats[name][f"conv{ci}"] = {"norm": s_bn}
+            if f"{t}.downsample.0.weight" in sd:
+                p_bn, s_bn = _bn(sd, f"{t}.downsample.1")
+                params[name]["shortcut"] = {
+                    "conv": {"kernel": conv_w(sd[f"{t}.downsample.0.weight"])},
+                    "norm": p_bn,
+                }
+                stats[name]["shortcut"] = {"norm": s_bn}
+    return params, stats
+
+
+def convert_timm_convnext(sd: Dict, depths=(3, 3, 27, 3)):
+    """timm/official ConvNeXt state_dict (downsample_layers.X, stages.X.Y.*)
+    -> params for models/backbones/convnext.py. Handles both the official
+    repo layout (used by `convert-pretrained-model-to-d2.py`) and timm's."""
+    params = {}
+
+    def get(*names):
+        for n in names:
+            if n in sd:
+                return np.asarray(sd[n])
+        raise KeyError(names)
+
+    # stem
+    params["downsample0_conv"] = {
+        "kernel": conv_w(get("downsample_layers.0.0.weight", "stem.0.weight")),
+        "bias": get("downsample_layers.0.0.bias", "stem.0.bias"),
+    }
+    params["downsample0_norm"] = {
+        "scale": get("downsample_layers.0.1.weight", "stem.1.weight"),
+        "bias": get("downsample_layers.0.1.bias", "stem.1.bias"),
+    }
+    for i in range(1, 4):
+        params[f"downsample{i}_norm"] = {
+            "scale": get(f"downsample_layers.{i}.0.weight",
+                         f"stages.{i}.downsample.0.weight"),
+            "bias": get(f"downsample_layers.{i}.0.bias",
+                        f"stages.{i}.downsample.0.bias"),
+        }
+        params[f"downsample{i}_conv"] = {
+            "kernel": conv_w(get(f"downsample_layers.{i}.1.weight",
+                                 f"stages.{i}.downsample.1.weight")),
+            "bias": get(f"downsample_layers.{i}.1.bias",
+                        f"stages.{i}.downsample.1.bias"),
+        }
+    for si, depth in enumerate(depths):
+        for bi in range(depth):
+            t = f"stages.{si}.{bi}"
+            t2 = f"stages.{si}.blocks.{bi}"
+            blk = {
+                "dwconv": {
+                    "kernel": conv_w(get(f"{t}.dwconv.weight", f"{t2}.conv_dw.weight")),
+                    "bias": get(f"{t}.dwconv.bias", f"{t2}.conv_dw.bias"),
+                },
+                "norm": {
+                    "scale": get(f"{t}.norm.weight", f"{t2}.norm.weight"),
+                    "bias": get(f"{t}.norm.bias", f"{t2}.norm.bias"),
+                },
+                "pwconv1": {
+                    "kernel": linear_w(get(f"{t}.pwconv1.weight", f"{t2}.mlp.fc1.weight")),
+                    "bias": get(f"{t}.pwconv1.bias", f"{t2}.mlp.fc1.bias"),
+                },
+                "pwconv2": {
+                    "kernel": linear_w(get(f"{t}.pwconv2.weight", f"{t2}.mlp.fc2.weight")),
+                    "bias": get(f"{t}.pwconv2.bias", f"{t2}.mlp.fc2.bias"),
+                },
+            }
+            for gk in (f"{t}.gamma", f"{t2}.gamma"):
+                if gk in sd:
+                    blk["gamma"] = np.asarray(sd[gk])
+                    break
+            # ConvNeXtV2 GRN
+            for gk, bk in ((f"{t}.grn.gamma", f"{t}.grn.beta"),):
+                if gk in sd:
+                    blk["grn"] = {
+                        "gamma": np.asarray(sd[gk]).reshape(-1),
+                        "beta": np.asarray(sd[bk]).reshape(-1),
+                    }
+            params[f"stage{si}_block{bi}"] = blk
+    # output norms (d2 convnext: norm0..norm3)
+    for i in range(4):
+        for key in (f"norm{i}", f"out_norm{i}"):
+            if f"{key}.weight" in sd:
+                params[f"out_norm{i}"] = {
+                    "scale": np.asarray(sd[f"{key}.weight"]),
+                    "bias": np.asarray(sd[f"{key}.bias"]),
+                }
+    return params
+
+
+def prepare_cc_weights(variables):
+    """WC -> CC init surgery: clone the final predictor / embedding
+    projections of the transformer decoder into the cross-clip module's
+    matching heads (reference `prepare_cc_weights.py:17-22`)."""
+    import copy
+
+    variables = copy.deepcopy(variables)
+    for col in ("params", "batch_stats"):
+        tree = variables.get(col)
+        if not tree or "transformer_decoder" not in tree:
+            continue
+        td = tree["transformer_decoder"]
+        cc = tree.setdefault("cc_module", {})
+        for k_src, k_dst in (
+            ("class_embedding_projection", "class_embedding_projection"),
+            ("mask_embedding_projection", "mask_embedding_projection"),
+        ):
+            if k_src in td:
+                cc[k_dst] = copy.deepcopy(td[k_src])
+        pred = td.get("predictor", {})
+        cc_pred = cc.setdefault("predictor", {})
+        for k in ("transformer_mask_head", "transformer_class_head",
+                  "pixel_space_mask_batch_norm"):
+            if k in pred:
+                cc_pred[k] = copy.deepcopy(pred[k])
+    return variables

@@ -1,0 +1,191 @@
+"""Checkpoint conversion + orbax save/restore tests.
+
+The ResNet oracle is a minimal torchvision-layout ResNet-18-style net built
+here in torch (conv1/bn1/layerX.Y.convZ+bnZ/downsample) — converting its
+state_dict and comparing features validates layout, stride placement and BN
+semantics end-to-end.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as tnn
+
+from axial_vs_tpu.models.backbones.resnet import ResNet
+from axial_vs_tpu.utils.torch_convert import (
+    convert_torchvision_resnet, convert_timm_convnext, prepare_cc_weights,
+)
+
+
+_BN_EPS = 1e-3  # the reference backbone uses SyncBN(eps=1e-3) (resnet.py:617)
+
+
+def _tv_bottleneck(inp, mid, out, stride):
+    m = tnn.Module()
+    m.conv1 = tnn.Conv2d(inp, mid, 1, bias=False)
+    m.bn1 = tnn.BatchNorm2d(mid, eps=_BN_EPS)
+    m.conv2 = tnn.Conv2d(mid, mid, 3, stride=stride, padding=1, bias=False)
+    m.bn2 = tnn.BatchNorm2d(mid, eps=_BN_EPS)
+    m.conv3 = tnn.Conv2d(mid, out, 1, bias=False)
+    m.bn3 = tnn.BatchNorm2d(out, eps=_BN_EPS)
+    if stride != 1 or inp != out:
+        m.downsample = tnn.Sequential(
+            tnn.Conv2d(inp, out, 1, stride=stride, bias=False),
+            tnn.BatchNorm2d(out, eps=_BN_EPS),
+        )
+    else:
+        m.downsample = None
+
+    def forward(x):
+        idt = x if m.downsample is None else m.downsample(x)
+        y = tnn.functional.relu(m.bn1(m.conv1(x)))
+        y = tnn.functional.relu(m.bn2(m.conv2(y)))
+        y = m.bn3(m.conv3(y))
+        return tnn.functional.relu(y + idt)
+
+    m.forward = forward
+    return m
+
+
+class TVResNet50(tnn.Module):
+    """torchvision-layout ResNet-50 (stride on 3x3 = stride_in_1x1 False)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64, eps=_BN_EPS)
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        blocks = (3, 4, 6, 3)
+        chans = [(64, 64, 256), (256, 128, 512), (512, 256, 1024), (1024, 512, 2048)]
+        for li, ((inp, mid, out), nb) in enumerate(zip(chans, blocks)):
+            layer = tnn.ModuleList()
+            for b in range(nb):
+                stride = 2 if (b == 0 and li > 0) else 1
+                layer.append(_tv_bottleneck(inp if b == 0 else out, mid, out, stride))
+            setattr(self, f"layer{li + 1}", layer)
+
+    def forward(self, x):
+        x = tnn.functional.relu(self.bn1(self.conv1(x)))
+        x = self.maxpool(x)
+        feats = []
+        for li in range(4):
+            for block in getattr(self, f"layer{li + 1}"):
+                x = block.forward(x)
+            feats.append(x)
+        return feats
+
+
+def test_resnet50_conversion_matches_torch(rng):
+    torch.manual_seed(0)
+    tm = TVResNet50().eval()
+    # randomize BN stats so eval-mode normalization is non-trivial
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, tnn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = convert_torchvision_resnet(sd, depth=50)
+
+    x = rng.randn(1, 64, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        feats_t = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+
+    model = ResNet(depth=50)
+    out = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False
+    )
+    for stage, ft in zip(("res2", "res3", "res4", "res5"), feats_t):
+        got = np.asarray(out[stage])
+        want = ft.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_convnext_conversion_roundtrip(rng):
+    """Official-repo-layout ConvNeXt state dict converts and runs."""
+    from axial_vs_tpu.models.backbones.convnext import ConvNeXt
+
+    depths, dims = (2, 2, 2, 2), (16, 32, 64, 128)
+    r = np.random.RandomState(0)
+    sd = {}
+    sd["downsample_layers.0.0.weight"] = r.randn(dims[0], 3, 4, 4).astype(np.float32)
+    sd["downsample_layers.0.0.bias"] = r.randn(dims[0]).astype(np.float32)
+    sd["downsample_layers.0.1.weight"] = r.randn(dims[0]).astype(np.float32)
+    sd["downsample_layers.0.1.bias"] = r.randn(dims[0]).astype(np.float32)
+    for i in range(1, 4):
+        sd[f"downsample_layers.{i}.0.weight"] = r.randn(dims[i - 1]).astype(np.float32)
+        sd[f"downsample_layers.{i}.0.bias"] = r.randn(dims[i - 1]).astype(np.float32)
+        sd[f"downsample_layers.{i}.1.weight"] = r.randn(dims[i], dims[i - 1], 2, 2).astype(np.float32)
+        sd[f"downsample_layers.{i}.1.bias"] = r.randn(dims[i]).astype(np.float32)
+    for si, d in enumerate(depths):
+        for bi in range(d):
+            t = f"stages.{si}.{bi}"
+            c = dims[si]
+            sd[f"{t}.dwconv.weight"] = r.randn(c, 1, 7, 7).astype(np.float32)
+            sd[f"{t}.dwconv.bias"] = r.randn(c).astype(np.float32)
+            sd[f"{t}.norm.weight"] = r.randn(c).astype(np.float32)
+            sd[f"{t}.norm.bias"] = r.randn(c).astype(np.float32)
+            sd[f"{t}.pwconv1.weight"] = r.randn(4 * c, c).astype(np.float32)
+            sd[f"{t}.pwconv1.bias"] = r.randn(4 * c).astype(np.float32)
+            sd[f"{t}.pwconv2.weight"] = r.randn(c, 4 * c).astype(np.float32)
+            sd[f"{t}.pwconv2.bias"] = r.randn(c).astype(np.float32)
+            sd[f"{t}.gamma"] = r.randn(c).astype(np.float32)
+    for i in range(4):
+        sd[f"norm{i}.weight"] = r.randn(dims[i]).astype(np.float32)
+        sd[f"norm{i}.bias"] = r.randn(dims[i]).astype(np.float32)
+
+    params = convert_timm_convnext(sd, depths=depths)
+    model = ConvNeXt(depths=depths, dims=dims)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    ref_vs = model.init(jax.random.PRNGKey(0), x)
+    # converted tree must cover exactly the same structure
+    flat_ref = jax.tree_util.tree_structure(ref_vs["params"])
+    flat_got = jax.tree_util.tree_structure(params)
+    assert flat_ref == flat_got, (flat_ref, flat_got)
+    out = model.apply({"params": params}, x)
+    assert out["res5"].shape == (1, 1, 1, 128)
+    assert np.isfinite(np.asarray(out["res5"])).all()
+
+
+def test_prepare_cc_weights():
+    variables = {
+        "params": {
+            "transformer_decoder": {
+                "class_embedding_projection": {"conv": {"kernel": np.ones((1, 4, 4))}},
+                "mask_embedding_projection": {"conv": {"kernel": np.ones((1, 4, 4)) * 2}},
+                "predictor": {
+                    "transformer_mask_head": {"conv": {"kernel": np.ones((1, 4, 2))}},
+                    "transformer_class_head": {"conv": {"kernel": np.ones((1, 4, 3))}},
+                    "pixel_space_mask_batch_norm": {"scale": np.ones((1,))},
+                },
+            }
+        }
+    }
+    out = prepare_cc_weights(variables)
+    cc = out["params"]["cc_module"]
+    np.testing.assert_array_equal(
+        cc["class_embedding_projection"]["conv"]["kernel"], np.ones((1, 4, 4))
+    )
+    np.testing.assert_array_equal(
+        cc["predictor"]["transformer_class_head"]["conv"]["kernel"], np.ones((1, 4, 3))
+    )
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from axial_vs_tpu.engine.checkpoint import CheckpointManager
+
+    state = {
+        "step": jnp.asarray(3),
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+    }
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+    mgr.save(3, state, force=True)
+    mgr.wait()
+    assert mgr.latest_step() == 3
+    template = jax.tree.map(np.zeros_like, state)
+    restored = mgr.restore(template)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
+    )
