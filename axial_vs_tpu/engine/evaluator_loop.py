@@ -1,0 +1,131 @@
+"""Whole-dataset evaluation loops (the reference's Trainer.test /
+video_inference.test_video equivalents)."""
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+from ..data.catalog import DatasetCatalog, MetadataCatalog
+from ..data.panoptic_utils import rgb2id
+from ..evaluation.stq import STQuality
+from ..evaluation.vipseg_evaluator import VIPSegEvaluator
+from ..models.video_inference import WCInferencePipeline
+
+
+def evaluate_vipseg(cfg, module, variables, max_videos: int | None = None,
+                    compute_stq: bool = False):
+    """Runs video-wise WC inference over the val split and computes VPQ
+    (mean over windows {1,2,4,6}) against GT panomasks."""
+    name = cfg.datasets.test[0]
+    videos = DatasetCatalog.get(name)
+    meta = MetadataCatalog.get(name)
+    num_classes = len(meta.contiguous_to_dataset_id)
+
+    thing_mask = np.zeros((num_classes,), bool)
+    for _, ci in meta.thing_dataset_id_to_contiguous_id.items():
+        thing_mask[ci] = True
+
+    pipeline = WCInferencePipeline(
+        module, variables,
+        num_clip_frames=cfg.input.num_clip_frames,
+        input_size=cfg.input.image_size,
+        pixel_mean=cfg.input.pixel_mean,
+        pixel_std=cfg.input.pixel_std,
+        thing_class_mask=thing_mask,
+        contiguous_to_dataset_id=np.asarray(meta.contiguous_to_dataset_id),
+        label_divisor=meta.label_divisor,
+        pixel_confidence_threshold=cfg.model.maxtron.test.pixel_confidence_threshold,
+        class_threshold_thing=cfg.model.maxtron.test.class_threshold_thing,
+        class_threshold_stuff=cfg.model.maxtron.test.class_threshold_stuff,
+        overlap_threshold=cfg.model.maxtron.test.overlap_threshold,
+        reorder_class_weight=cfg.model.maxtron.test.reorder_class_weight,
+        reorder_mask_weight=cfg.model.maxtron.test.reorder_mask_weight,
+    )
+    evaluator = VIPSegEvaluator(
+        categories={
+            i: {"isthing": int(thing_mask[i])} for i in range(num_classes)
+        },
+        label_divisor=meta.label_divisor,
+        cost_limit=cfg.model.maxtron.test.cost_limit,
+        mem_weight=cfg.model.maxtron.test.mem_weight,
+        output_dir=cfg.output_dir,
+    )
+    stq = STQuality(
+        num_classes,
+        [ci for ci in range(num_classes) if thing_mask[ci]],
+        ignore_label=255,
+    ) if compute_stq else None
+
+    ds_to_cont = {ds: i for i, ds in enumerate(meta.contiguous_to_dataset_id)}
+
+    for vi, video in enumerate(videos[: max_videos or len(videos)]):
+        frames = np.stack(
+            [np.asarray(Image.open(f["file_name"]).convert("RGB"))
+             for f in video["frames"]]
+        )
+        pred_ids, result, embds = pipeline.run_video(frames)
+
+        # prediction segments keyed by the dataset-encoded ids produced by
+        # remap_panoptic_to_dataset_ids; categories mapped back to contiguous
+        pred_segments = {}
+        for sid in np.unique(pred_ids):
+            if sid < 0:
+                continue
+            cat_ds = sid // meta.label_divisor if sid >= meta.label_divisor else sid
+            cat = ds_to_cont.get(int(cat_ds), int(cat_ds))
+            pred_segments[int(sid)] = {"category_id": int(cat)}
+
+        # GT id maps from panomask PNGs: encode as cat_cont*divisor+inst for
+        # things (instance id = raw segment id), cat_cont for stuff
+        gt_frames = []
+        gt_segments = {}
+        for f in video["frames"]:
+            pan = rgb2id(np.asarray(Image.open(f["pan_seg_file_name"]).convert("RGB")))
+            out = np.full(pan.shape, -1, np.int64)
+            for seg in f["segments_info"]:
+                cat = ds_to_cont.get(seg["category_id"], None)
+                if cat is None:
+                    continue
+                m = pan == seg["id"]
+                if seg.get("isthing", thing_mask[cat]):
+                    gid = cat * meta.label_divisor + seg["id"]
+                else:
+                    gid = cat
+                out[m] = gid
+                gt_segments[int(gid)] = {
+                    "category_id": int(cat),
+                    "iscrowd": int(seg.get("iscrowd", 0)),
+                }
+            gt_frames.append(out)
+        gt_ids = np.stack(gt_frames)
+
+        evaluator.process_video(
+            video["video_id"], pred_ids, pred_segments, gt_ids, gt_segments,
+            frame_names=[f["file_name"] for f in video["frames"]],
+        )
+        if stq is not None:
+            shift = stq.shift
+            divisor = meta.label_divisor
+            max_ds = max(ds_to_cont) + 1
+            ds_lookup = np.full((max_ds + 1,), 255, np.int64)
+            for ds, ci in ds_to_cont.items():
+                ds_lookup[ds] = ci
+
+            def encode(ids, cats_are_dataset):
+                cat = np.where(ids >= divisor, ids // divisor, np.maximum(ids, 0))
+                if cats_are_dataset:
+                    cat = ds_lookup[np.clip(cat, 0, max_ds)]
+                sem = np.where(ids < 0, 255, cat)
+                inst = np.where(ids >= divisor, ids % divisor, 0)
+                return (sem.astype(np.int64) << shift) + inst
+
+            for gt_f, pr_f in zip(gt_ids, pred_ids):
+                stq.update_state(
+                    encode(gt_f, False), encode(pr_f, True),
+                    sequence_id=video["video_id"],
+                )
+
+    results = evaluator.evaluate()
+    if stq is not None:
+        results["stq"] = stq.result()
+    return results

@@ -1,0 +1,209 @@
+"""Trainer: config -> data + model + optimizer + pjit'ed loop.
+
+Replaces the reference's d2 DefaultTrainer subclass + launch()
+(`train_net_video.py:50-275`): one process drives all local devices via a
+'data' mesh (GSPMD handles gradient sync + SyncBN); multi-host runs
+initialize ``jax.distributed`` and feed per-host shards.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import ConfigNode
+from ..data.catalog import DatasetCatalog
+from ..data.loader import ClipDataLoader, device_prefetch
+from ..data.vipseg import VIPSegClipMapper
+from ..losses.criterion import SetCriterion
+from ..models.kmax import build_segmenter
+from ..parallel.mesh import build_mesh
+from .checkpoint import CheckpointManager
+from .logger import MetricsLogger, setup_logger
+from .lr_schedule import tf2_warmup_poly_lr
+from .optim import build_optimizer
+from .train_step import TrainState, create_train_state, make_train_step
+
+
+def criterion_from_config(cfg) -> SetCriterion:
+    kmax = cfg.model.kmax
+    weights = {
+        "loss_ce": kmax.class_weight,
+        "loss_mask": kmax.mask_weight,
+        "loss_dice": kmax.dice_weight,
+        "loss_pixel_insdis": kmax.insdis_weight,
+        "loss_aux_semantic": kmax.aux_semantic_weight,
+    }
+    return SetCriterion(
+        num_classes=cfg.model.num_classes,
+        weights=weights,
+        eos_coef=kmax.no_object_weight,
+        share_final_matching=kmax.share_final_matching,
+        pixel_insdis_temperature=kmax.pixel_insdis_temperature,
+        pixel_insdis_sample_k=kmax.pixel_insdis_sample_k,
+        aux_semantic_temperature=kmax.aux_semantic_temperature,
+        aux_semantic_sample_k=kmax.aux_semantic_sample_k,
+        masking_void_pixel=kmax.masking_void_pixel,
+    )
+
+
+class Trainer:
+    def __init__(self, cfg: ConfigNode):
+        import math
+
+        self.cfg = cfg
+        self.logger = setup_logger(output_dir=cfg.output_dir)
+        # the data axis must divide the per-host video batch; use the largest
+        # divisor of the batch that fits the device count
+        local_videos = max(cfg.solver.ims_per_batch // jax.process_count(), 1)
+        n_data = math.gcd(local_videos, jax.local_device_count())
+        self.mesh = build_mesh(
+            tuple(cfg.parallel.mesh_axes), devices=jax.devices()[:n_data]
+        )
+        if n_data != jax.local_device_count():
+            self.logger.warning(
+                f"batch {local_videos} not divisible by {jax.local_device_count()} "
+                f"devices; using a {n_data}-device data mesh"
+            )
+        self.num_frames = cfg.input.num_video_frames
+        self.module = build_segmenter(cfg, num_frames=self.num_frames, train=True)
+        self.criterion = criterion_from_config(cfg)
+
+        # data
+        datasets = []
+        for name in cfg.datasets.train:
+            datasets.extend(DatasetCatalog.get(name))
+        self.dataset = datasets
+        mapper = VIPSegClipMapper(
+            image_size=cfg.input.image_size,
+            num_frames=self.num_frames,
+            min_scale=cfg.input.min_scale,
+            max_scale=cfg.input.max_scale,
+            max_instances=cfg.model.kmax.trans_dec.num_object_queries,
+            random_reverse=cfg.input.random_reverse,
+            pixel_mean=cfg.input.pixel_mean,
+            pixel_std=cfg.input.pixel_std,
+            seed=cfg.dataloader.seed,
+        )
+        local_batch = local_videos
+        self.loader = (
+            ClipDataLoader(
+                datasets, mapper, batch_size=local_batch,
+                num_workers=cfg.dataloader.num_workers,
+                prefetch=cfg.dataloader.prefetch, seed=cfg.dataloader.seed,
+            )
+            if datasets
+            else None
+        )
+
+        # optimizer/state
+        rng = jax.random.PRNGKey(cfg.seed)
+        t = self.num_frames
+        h, w = cfg.input.image_size
+        example = jnp.zeros((local_batch * t, h, w, 3), jnp.float32)
+        schedule = tf2_warmup_poly_lr(
+            cfg.solver.base_lr, cfg.solver.max_iter,
+            warmup_iters=cfg.solver.warmup_iters, power=cfg.solver.poly_power,
+        )
+        variables_shape = jax.eval_shape(
+            lambda: self.module.init(rng, example, train=True)
+        )
+        self.tx = build_optimizer(cfg, variables_shape["params"], schedule)
+        self._rng = rng
+        self._example = example
+        self.state = None
+
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.output_dir, "checkpoints"),
+            save_interval_steps=1,
+        )
+        self.ckpt.install_preemption_hook()
+        self.metrics = MetricsLogger(cfg.output_dir)
+
+        self._repl = NamedSharding(self.mesh, P())
+        self._data = NamedSharding(self.mesh, P("data"))
+        step = make_train_step(self.module, self.criterion, self.tx)
+        self.train_step = jax.jit(step, donate_argnums=(0,))
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, init_weights=None):
+        self.state = create_train_state(
+            self.module, self._rng, self._example, self.tx
+        )
+        if init_weights:
+            self.load_weights(init_weights)
+        self.state = jax.device_put(self.state, self._repl)
+        return self.state
+
+    def load_weights(self, path):
+        """Load initial weights (orbax dir or converted .npz tree)."""
+        import pickle
+
+        if os.path.isdir(path):
+            restored = CheckpointManager(path).restore(self.state)
+            if restored is not None:
+                self.state = restored
+        else:
+            with open(path, "rb") as f:
+                tree = pickle.load(f)
+            params = self.state.params
+            merged = _merge_trees(params, tree.get("params", tree))
+            stats = _merge_trees(
+                self.state.batch_stats, tree.get("batch_stats", {})
+            )
+            self.state = self.state._replace(params=merged, batch_stats=stats)
+        self.logger.info(f"loaded weights from {path}")
+
+    def resume_or_load(self, resume: bool):
+        if self.state is None:
+            self.init_state(self.cfg.model.weights or None)
+        if resume:
+            restored = self.ckpt.restore(self.state)
+            if restored is not None:
+                self.state = jax.device_put(restored, self._repl)
+                self.logger.info(f"resumed from step {int(self.state.step)}")
+
+    # -- loop ----------------------------------------------------------------
+    def _place_batch(self, batch):
+        return {
+            "images": jax.device_put(batch["images"], self._data),
+            "targets": {
+                k: jax.device_put(v, self._data) for k, v in batch["targets"].items()
+            },
+        }
+
+    def train(self, resume: bool = False, max_iter: int | None = None):
+        self.resume_or_load(resume)
+        max_iter = max_iter or self.cfg.solver.max_iter
+        start = int(self.state.step)
+        it = device_prefetch(iter(self.loader), self._place_batch, depth=1)
+        rng = jax.random.PRNGKey(self.cfg.seed + 1)
+        with self.mesh:
+            for step in range(start, max_iter):
+                batch = next(it)
+                rng, sub = jax.random.split(rng)
+                self.state, metrics = self.train_step(self.state, batch, sub)
+                if (step + 1) % self.metrics.log_every == 0 or self.ckpt.preempted:
+                    self.metrics.log(step + 1, jax.device_get(metrics), self.logger)
+                if (step + 1) % self.cfg.solver.checkpoint_period == 0 or (
+                    step + 1
+                ) == max_iter or self.ckpt.preempted:
+                    self.ckpt.save(step + 1, jax.device_get(self.state), force=True)
+                if self.ckpt.preempted:
+                    self.logger.warning("preemption signal: checkpoint saved, exiting")
+                    break
+        self.ckpt.wait()
+        return self.state
+
+
+def _merge_trees(base, override):
+    if not isinstance(base, dict):
+        return override if override is not None else base
+    out = dict(base)
+    for k, v in (override or {}).items():
+        if k in out:
+            out[k] = _merge_trees(out[k], v)
+    return out

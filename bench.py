@@ -34,6 +34,11 @@ def main():
         iters = 3
 
     import jax
+
+    # persistent compile cache: compiles over the axon tunnel are slow, so a
+    # warmed cache (kept out of git) makes repeat runs fast
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from axial_vs_tpu.config import get_default_config
