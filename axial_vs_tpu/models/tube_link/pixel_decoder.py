@@ -1,0 +1,210 @@
+"""Tube-Link pixel decoder: fused MSDA + axial-trajectory encoder + FPN.
+
+Re-designs `MaXTron_Tube-Link/mmdet/models/plugins/msdeformattn_pixel_decoder.py`
+(decoder wiring :31-327, fused attention :394-660): 3 encoder levels
+(res5/res4/res3) projected to 256ch, 6 encoder layers where each layer's
+attention = multi-scale deformable attention followed by an axial-trajectory
+TemporalEncoder on the first ``num_temporal_levels`` levels with a
+gamma-gated (1e-6-init) residual, then [self-output proj + dropout +
+residual] -> LN -> FFN -> LN; finally an FPN lateral step to res2 and a 3x3
+mask-feature conv.
+
+This is how WC attention is injected into Tube-Link ("fused" = the temporal
+encoder lives INSIDE the attention op, before its output projection).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...layers.msda_attention import reference_points_for_shapes, _offset_bias_init
+from ...layers.position_embeddings import (
+    position_embedding_sine_2d, position_embedding_sine_3d,
+)
+from ...layers.trajectory_attention import TemporalEncoder, _dense
+from ...ops.msda import ms_deform_attn
+from ...ops.norm import GroupNorm, LayerNorm
+
+
+class FusedMSDATrajectoryAttention(nn.Module):
+    """MSDA whose per-level outputs pass through an axial-trajectory
+    temporal encoder before the output projection (ref :394-660)."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 3
+    num_points: int = 4
+    num_temporal_levels: int = 2
+    num_temporal_layers: int = 1
+    num_temporal_dim: int = 1024
+    num_frames: int = 2
+    skip_connect: bool = True
+    use_temporal: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, query, query_pos, pos_3d, spatial_shapes, train: bool = False):
+        # query: (B*T, S, C) flattened levels (low->high resolution)
+        identity = query
+        q = query + query_pos.astype(query.dtype)
+        b, s, c = q.shape
+        m, L, p = self.num_heads, self.num_levels, self.num_points
+        d = self.embed_dims // m
+
+        value = _dense(self.embed_dims, self.embed_dims, "value_proj", self.dtype)(
+            query
+        ).reshape(b, s, m, d)
+        offsets = nn.Dense(
+            m * L * p * 2, kernel_init=nn.initializers.zeros,
+            bias_init=_offset_bias_init(m, L, p), dtype=self.dtype,
+            name="sampling_offsets",
+        )(q).reshape(b, s, m, L, p, 2)
+        weights = nn.Dense(
+            m * L * p, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, dtype=self.dtype,
+            name="attention_weights",
+        )(q).reshape(b, s, m, L * p)
+        weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1).reshape(
+            b, s, m, L, p
+        ).astype(q.dtype)
+
+        ref = jnp.asarray(reference_points_for_shapes(spatial_shapes))[None]
+        normalizer = jnp.asarray([[w, h] for h, w in spatial_shapes], jnp.float32)
+        locations = (
+            ref[:, :, None, :, None, :]
+            + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
+        )
+        out = ms_deform_attn(value, spatial_shapes, locations, weights)
+
+        if self.use_temporal:
+            gamma = self.param(
+                "gamma", nn.initializers.constant(1e-6), (self.embed_dims,),
+                jnp.float32,
+            )
+            encoder = TemporalEncoder(
+                d_model=self.embed_dims, d_ffn=self.num_temporal_dim,
+                num_heads=self.num_heads, num_layers=self.num_temporal_layers,
+                dtype=self.dtype, name="temporal_encoder",
+            )
+            parts = []
+            offset = 0
+            for i, (h, w) in enumerate(spatial_shapes):
+                piece = out[:, offset : offset + h * w]
+                offset += h * w
+                if i < self.num_temporal_levels:
+                    upd, _, _ = encoder(
+                        piece, pos_3d[i], num_frames=self.num_frames,
+                        height=h, width=w, train=train,
+                    )
+                    piece = piece + gamma.astype(piece.dtype) * upd \
+                        if self.skip_connect else upd
+                parts.append(piece)
+            out = jnp.concatenate(parts, axis=1)
+
+        out = _dense(self.embed_dims, self.embed_dims, "output_proj", self.dtype)(out)
+        return identity + out
+
+
+class TubeLinkPixelDecoder(nn.Module):
+    """features dict (res2..res5, NHWC) -> (mask_feature (B*T, H/4, W/4, C),
+    multi_scale [res5, res4, res3] encoder outputs)."""
+
+    feat_channels: int = 256
+    out_channels: int = 256
+    num_encoder_layers: int = 6
+    num_encoder_levels: int = 3
+    num_temporal_levels: int = 2
+    num_frames: int = 2
+    use_temporal: bool = True
+    ffn_dim: int = 1024
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, features: dict, train: bool = False):
+        levels = ["res5", "res4", "res3"][: self.num_encoder_levels]
+        c = self.feat_channels
+        srcs, shapes = [], []
+        for i, name in enumerate(levels):
+            x = features[name]
+            y = nn.Conv(
+                c, (1, 1), use_bias=True,
+                kernel_init=nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"),
+                dtype=self.dtype, name=f"input_conv{i}",
+            )(x)
+            y = GroupNorm(features=c, num_groups=32, name=f"input_norm{i}")(y)
+            srcs.append(y)
+            shapes.append((x.shape[1], x.shape[2]))
+        bt = srcs[0].shape[0]
+        t = self.num_frames
+
+        level_embed = self.param(
+            "level_encoding", nn.initializers.normal(1.0),
+            (self.num_encoder_levels, c), jnp.float32,
+        )
+        pos_parts = []
+        for i, (h, w) in enumerate(shapes):
+            p2 = position_embedding_sine_2d(h, w, num_pos_feats=c // 2).reshape(-1, c)
+            pos_parts.append(jnp.asarray(p2) + level_embed[i])
+        pos_flat = jnp.concatenate(pos_parts, axis=0)
+
+        pos_3d = []
+        if self.use_temporal:
+            level_embed_3d = self.param(
+                "level_3d_encoding", nn.initializers.normal(1.0),
+                (self.num_temporal_levels, c), jnp.float32,
+            )
+            for i in range(self.num_temporal_levels):
+                h, w = shapes[i]
+                pos_3d.append(
+                    jnp.asarray(position_embedding_sine_3d(t, h, w, num_pos_feats=c // 2))
+                    + level_embed_3d[i]
+                )
+
+        x = jnp.concatenate([s.reshape(bt, -1, c) for s in srcs], axis=1)
+        for li in range(self.num_encoder_layers):
+            x = FusedMSDATrajectoryAttention(
+                embed_dims=c, num_levels=self.num_encoder_levels,
+                num_temporal_levels=self.num_temporal_levels,
+                num_frames=t, use_temporal=self.use_temporal,
+                dtype=self.dtype, name=f"layer{li}_attn",
+            )(x, pos_flat, pos_3d, tuple(shapes), train=train)
+            x = LayerNorm(features=c, epsilon=1e-5, name=f"layer{li}_norm1")(x)
+            y = _dense(self.ffn_dim, c, f"layer{li}_ffn1", self.dtype)(x)
+            y = nn.relu(y)
+            y = _dense(c, self.ffn_dim, f"layer{li}_ffn2", self.dtype)(y)
+            x = LayerNorm(features=c, epsilon=1e-5, name=f"layer{li}_norm2")(x + y)
+
+        outs = []
+        offset = 0
+        for i, (h, w) in enumerate(shapes):
+            outs.append(x[:, offset : offset + h * w].reshape(bt, h, w, c))
+            offset += h * w
+
+        # FPN lateral to res2
+        from ...ops.resize import resize_bilinear
+
+        lateral = nn.Conv(
+            c, (1, 1), use_bias=True,
+            kernel_init=nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"),
+            dtype=self.dtype, name="lateral_conv0",
+        )(features["res2"])
+        lateral = GroupNorm(features=c, num_groups=32, name="lateral_norm0")(lateral)
+        y = lateral + resize_bilinear(outs[-1], lateral.shape[1:3], align_corners=False)
+        y = nn.Conv(
+            c, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+            kernel_init=nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"),
+            dtype=self.dtype, name="output_conv0",
+        )(y)
+        y = GroupNorm(features=c, num_groups=32, name="output_norm0")(y)
+        y = nn.relu(y)
+
+        mask_feature = nn.Conv(
+            self.out_channels, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+            kernel_init=nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"),
+            dtype=self.dtype, name="mask_feature",
+        )(y)
+        return mask_feature, outs  # outs: low->high resolution (res5 first)
