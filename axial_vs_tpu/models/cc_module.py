@@ -126,6 +126,22 @@ class CrossClipTrackingModule(nn.Module):
         b, q, t, c = clip_query.shape
         assert b == 1, "offline CC inference/training runs one video at a time"
 
+        # projections + predictor are SHARED across layers (ref :266-272):
+        # single instances, called once per layer
+        class_proj = ConvBN(
+            256, kernel_size=1, use_bias=False, norm="syncbn", act="gelu",
+            conv_type="1d", dtype=self.dtype, name="class_embedding_projection",
+        )
+        mask_proj = ConvBN(
+            256, kernel_size=1, use_bias=False, norm="syncbn", act="gelu",
+            conv_type="1d", dtype=self.dtype, name="mask_embedding_projection",
+        )
+        predictor = MaXTronCCPredictor(
+            num_classes=self.num_classes + 1,
+            num_clip_frames=self.num_clip_frames,
+            dtype=self.dtype, name="predictor",
+        )
+
         predictions_class = []
         predictions_mask = []
         x = clip_query
@@ -157,21 +173,9 @@ class CrossClipTrackingModule(nn.Module):
 
             # per-clip embeddings -> predictor
             video_query = x.transpose(0, 2, 1, 3).reshape(b * t, q, c)  # (T, Q, C)
-            # projections + predictor are SHARED across layers (created once
-            # outside the loop in the reference, ref :266-272)
-            class_emb = ConvBN(
-                256, kernel_size=1, use_bias=False, norm="syncbn", act="gelu",
-                conv_type="1d", dtype=self.dtype, name="class_embedding_projection",
-            )(video_query, train=train)
-            mask_emb = ConvBN(
-                256, kernel_size=1, use_bias=False, norm="syncbn", act="gelu",
-                conv_type="1d", dtype=self.dtype, name="mask_embedding_projection",
-            )(video_query, train=train)
-            pred = MaXTronCCPredictor(
-                num_classes=self.num_classes + 1,
-                num_clip_frames=self.num_clip_frames,
-                dtype=self.dtype, name="predictor",
-            )(mask_emb, class_emb, panoptic_features, train=train)
+            class_emb = class_proj(video_query, train=train)
+            mask_emb = mask_proj(video_query, train=train)
+            pred = predictor(mask_emb, class_emb, panoptic_features, train=train)
             predictions_class.append(pred["class_logits"])
             predictions_mask.append(pred["mask_logits"])
 
