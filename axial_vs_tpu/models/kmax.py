@@ -98,6 +98,23 @@ def build_backbone(cfg, dtype=None):
             dtype=dtype,
             name="backbone",
         )
+    if name.startswith("swin"):
+        from .backbones.swin import SwinTransformer
+
+        s = cfg.model.backbone.swin
+        return SwinTransformer(
+            embed_dim=s.embed_dim,
+            depths=tuple(s.depths),
+            num_heads=tuple(s.num_heads),
+            window_size=s.window_size,
+            mlp_ratio=s.mlp_ratio,
+            qkv_bias=s.qkv_bias,
+            drop_path_rate=s.drop_path_rate,
+            patch_norm=s.patch_norm,
+            out_features=out_features,
+            dtype=dtype,
+            name="backbone",
+        )
     raise ValueError(f"unknown backbone {name!r}")
 
 
