@@ -168,6 +168,24 @@ def get_default_config() -> ConfigNode:
             ),
         )
     )
+    # Tube-Link (Mask2Former VIS/VPS) recipe
+    model.tube_link = ConfigNode(
+        dict(
+            num_queries=100,
+            feat_channels=256,
+            out_channels=256,
+            num_decoder_layers=9,
+            clip_len=5,
+            overlap=0,
+            use_temporal_attn=True,
+            test_topk=30,
+            cls_weight=2.0,
+            mask_weight=5.0,
+            dice_weight=5.0,
+            bg_cls_weight=0.1,
+            num_points=12544,
+        )
+    )
     cfg.model = model
 
     # ----- solver -----------------------------------------------------------
