@@ -142,15 +142,27 @@ def vpq_compute(
     categories: Dict[int, dict],
     window_sizes=(1, 2, 4, 6),
     num_workers: int = 0,
+    use_native: bool = True,
 ):
     """videos: iterable of (gt_ids, pred_ids, gt_segments, pred_segments).
-    Returns {'vpq': mean over windows, 'per_window': {k: {...}}}."""
+    Returns {'vpq': mean over windows, 'per_window': {k: {...}}}. Uses the
+    native threaded core (native/vpq_core.cpp) when available."""
+    native_fn = None
+    if use_native:
+        try:
+            from .vpq_native import vpq_single_video_native as native_fn
+        except Exception:
+            native_fn = None
     videos = list(videos)
     per_window = {}
     for nframes in window_sizes:
         stat = PQStat()
         jobs = [(g, p, gs, ps, nframes) for g, p, gs, ps in videos]
-        if num_workers > 1:
+        if native_fn is not None:
+            for g, p, gs, ps, nf in jobs:
+                s = native_fn(g, p, gs, ps, nf)
+                stat += s if s is not None else _vpq_worker((g, p, gs, ps, nf))
+        elif num_workers > 1:
             with ProcessPoolExecutor(max_workers=num_workers) as ex:
                 for s in ex.map(_vpq_worker, jobs):
                     stat += s

@@ -125,3 +125,24 @@ def test_vpq_compute_aggregates():
     res = vpq_compute(videos, categories, window_sizes=(1, 2))
     assert 0 <= res["vpq"] <= 1
     assert set(res["per_window"]) == {1, 2}
+
+
+def test_native_vpq_matches_numpy():
+    from axial_vs_tpu.evaluation.vpq_native import vpq_single_video_native, load_library
+
+    if load_library() is None:
+        import pytest
+        pytest.skip("native vpq core unavailable")
+    rng = np.random.RandomState(5)
+    for seed in range(3):
+        rng = np.random.RandomState(seed)
+        gt, pred, gt_segments, pred_segments = _random_video(rng, v=6, h=40, w=50)
+        for nframes in (1, 3):
+            ref = vpq_single_video(gt, pred, gt_segments, pred_segments, nframes)
+            got = vpq_single_video_native(gt, pred, gt_segments, pred_segments, nframes)
+            assert got is not None
+            for cat in set(list(ref.tp) + list(got.tp)):
+                assert ref.tp[cat] == got.tp[cat]
+                assert ref.fp[cat] == got.fp[cat]
+                assert ref.fn[cat] == got.fn[cat]
+                np.testing.assert_allclose(ref.iou[cat], got.iou[cat], rtol=1e-12)
