@@ -201,4 +201,5 @@ class Mask2FormerVideoHeadTube(nn.Module):
         out = {"cls_preds": cls_list, "mask_preds": mask_list}
         if return_query:
             out["query"] = query
+            out["mask_features"] = mask_features
         return out

@@ -1,0 +1,228 @@
+"""TubeLinkVPS: tube-based video panoptic segmentation detector family.
+
+Re-designs `MaXTron_Tube-Link/models/video/tube_link_vps/` (T8):
+
+- key/ref tube split training (`tube_link_vps.py:161-176`) with a
+  contrastive track head on thing queries
+  (`track_heads.py:1-176`, QuasiDenseMaskEmbedHeadGTMask): an MLP embeds
+  matched thing queries; a multi-positive bisoftmax contrastive loss pulls
+  same-instance embeddings across the key/ref tubes together;
+- ``link_thing_query``: MHSA linking of the current window's thing queries
+  with the previous window's (`tube_link_vps.py:178-195`), carried as
+  ``pre_thing_query`` state at test time (:448-451);
+- the "no-stuff-match" heads pin each stuff class to a fixed query slot and
+  Hungarian-match things only
+  (`mask2former_video_head_custom_no_stuff_match.py:191-193`);
+- test-time panoptic stitching across windows re-IDs things by track
+  embedding (quasi-dense tracker) and merges stuff by class
+  (`tube_link_vps.py:556-`).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...layers.trajectory_attention import _dense
+from ...ops.norm import LayerNorm
+from ...trackers.quasi_dense import QuasiDenseEmbedTracker
+from .head import MaskedMultiheadAttention, Mask2FormerVideoHeadTube
+
+
+class TrackEmbedHead(nn.Module):
+    """Query -> track embedding MLP (QuasiDenseMaskEmbedHeadGTMask)."""
+
+    embed_dim: int = 256
+    num_layers: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, query):
+        y = query
+        for i in range(self.num_layers - 1):
+            y = _dense(self.embed_dim, y.shape[-1], f"fc{i}", self.dtype)(y)
+            y = nn.relu(y)
+        return _dense(self.embed_dim, y.shape[-1], "fc_out", self.dtype)(y)
+
+
+def multi_pos_contrastive_loss(key_embeds, ref_embeds, match_matrix,
+                               temperature: float = 1.0):
+    """Quasi-dense multi-positive CE (`tracker/qdtrack` losses): for each key
+    embedding, softmax over all ref embeddings; positives = same instance.
+
+    key_embeds (N, C), ref_embeds (M, C), match_matrix (N, M) float {0,1}.
+    """
+    logits = (key_embeds @ ref_embeds.T) / temperature
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    pos = match_matrix.astype(jnp.float32)
+    num_pos = jnp.maximum(jnp.sum(pos, axis=-1), 1.0)
+    loss = -jnp.sum(pos * logp, axis=-1) / num_pos
+    has_pos = jnp.sum(pos, axis=-1) > 0
+    return jnp.sum(jnp.where(has_pos, loss, 0.0)) / jnp.maximum(
+        jnp.sum(has_pos), 1.0
+    )
+
+
+class ThingQueryLink(nn.Module):
+    """MHSA linking current thing queries with the previous window's."""
+
+    embed_dim: int = 256
+    num_heads: int = 8
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, cur_query, pre_query=None):
+        # cur/pre: (B, Q_thing, C)
+        if pre_query is None:
+            pre_query = cur_query
+        ctx = jnp.concatenate([cur_query, pre_query], axis=1)
+        attn = MaskedMultiheadAttention(
+            embed_dims=self.embed_dim, num_heads=self.num_heads,
+            dtype=self.dtype, name="link_attn",
+        )(cur_query, ctx, ctx)
+        x = LayerNorm(features=self.embed_dim, epsilon=1e-5, name="norm1")(
+            cur_query + attn
+        )
+        y = _dense(self.embed_dim * 4, self.embed_dim, "ffn1", self.dtype)(x)
+        y = nn.relu(y)
+        y = _dense(self.embed_dim, self.embed_dim * 4, "ffn2", self.dtype)(y)
+        return LayerNorm(features=self.embed_dim, epsilon=1e-5, name="norm2")(x + y)
+
+
+class TubeLinkVPS(nn.Module):
+    """backbone + tube head + track head + thing-query linking.
+
+    Queries are split [0:num_thing_queries) = things (Hungarian-matched),
+    [num_thing_queries:) = one fixed slot per stuff class (no-stuff-match).
+    """
+
+    backbone: nn.Module
+    num_things_classes: int = 19
+    num_stuff_classes: int = 0
+    num_thing_queries: int = 100
+    num_frames: int = 2
+    use_temporal_attn: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, images, pre_thing_query=None, train: bool = False):
+        feats = self.backbone(images, train=train)
+        head_out = Mask2FormerVideoHeadTube(
+            num_things_classes=self.num_things_classes,
+            num_stuff_classes=self.num_stuff_classes,
+            num_queries=self.num_thing_queries + self.num_stuff_classes,
+            num_frames=self.num_frames,
+            use_temporal_attn=self.use_temporal_attn,
+            dtype=self.dtype,
+            name="head",
+        )(feats, train=train, return_query=True)
+
+        query = head_out["query"]  # (B, Q, C)
+        thing_query = query[:, : self.num_thing_queries]
+        linked = ThingQueryLink(
+            embed_dim=query.shape[-1], dtype=self.dtype, name="thing_link"
+        )(thing_query, pre_thing_query)
+        track_embeds = TrackEmbedHead(
+            embed_dim=query.shape[-1], dtype=self.dtype, name="track_head"
+        )(linked)
+
+        head_out["thing_query"] = linked
+        head_out["track_embeds"] = track_embeds
+        return head_out
+
+
+def stuff_fixed_assignment(num_thing_queries, num_stuff_classes, num_things_classes):
+    """The no-stuff-match rule: stuff class k (contiguous id num_things + k)
+    is always predicted by query slot num_thing_queries + k."""
+    slots = np.arange(num_stuff_classes) + num_thing_queries
+    labels = np.arange(num_stuff_classes) + num_things_classes
+    return slots, labels
+
+
+class TubeLinkVPSInference:
+    """Window-streamed VPS: per-window tube inference + quasi-dense re-ID."""
+
+    def __init__(self, module, variables, *, clip_len, num_things_classes,
+                 num_stuff_classes, label_divisor=10000, score_thr=0.3):
+        self.module = module
+        self.variables = variables
+        self.clip_len = clip_len
+        self.num_things = num_things_classes
+        self.num_stuff = num_stuff_classes
+        self.label_divisor = label_divisor
+        self.score_thr = score_thr
+        self.tracker = QuasiDenseEmbedTracker()
+        self._pre_thing_query = None
+
+        @jax.jit
+        def window_forward(images, pre_thing_query):
+            out = module.apply(
+                variables, images, pre_thing_query=pre_thing_query, train=False
+            )
+            return (
+                out["cls_preds"][-1][0],
+                out["mask_preds"][-1][0],
+                out["track_embeds"][0],
+                out["thing_query"],
+            )
+
+        self._window_forward = window_forward
+
+    def init_memory(self):
+        self.tracker.reset()
+        self._pre_thing_query = None
+
+    def process_window(self, images: np.ndarray, frame_id: int):
+        """images (T, H, W, 3) -> (T, h, w) panoptic id maps
+        (thing: cat*divisor + track_id, stuff: cat)."""
+        pre = self._pre_thing_query
+        if pre is None:
+            pre = jnp.zeros((1, 0, 256), jnp.float32)
+        cls_logits, masks, embeds, thing_query = self._window_forward(
+            jnp.asarray(images), pre
+        )
+        self._pre_thing_query = thing_query
+
+        cls_prob = np.asarray(jax.nn.softmax(cls_logits, -1))[:, :-1]
+        masks = np.asarray(masks)  # (T, Q, h, w)
+        embeds = np.asarray(embeds)
+        t, q, h, w = masks.shape
+
+        scores = cls_prob.max(-1)
+        labels = cls_prob.argmax(-1)
+        # per-pixel argmax fusion over confident queries
+        keep = scores > self.score_thr
+        seg = np.zeros((t, h, w), np.int64)
+        fused = masks.transpose(0, 2, 3, 1)  # (T, h, w, Q)
+        fused = np.where(keep[None, None, None, :], fused, -1e9)
+        best = fused.argmax(-1)  # (T, h, w)
+        valid_pixel = fused.max(-1) > 0
+
+        nt = self.num_things
+        thing_slots = np.flatnonzero(keep[: q - self.num_stuff] if self.num_stuff
+                                     else keep)
+        thing_slots = [s for s in thing_slots if labels[s] < nt]
+        track_ids = (
+            self.tracker.match(
+                embeds[thing_slots], labels[np.asarray(thing_slots, int)],
+                scores[np.asarray(thing_slots, int)], frame_id,
+            )
+            if thing_slots
+            else np.zeros(0, np.int64)
+        )
+        slot_to_id = {}
+        for s, tid in zip(thing_slots, track_ids):
+            if tid >= 0:
+                slot_to_id[s] = (labels[s] + 1) * self.label_divisor + tid + 1
+        for s in range(q):
+            if keep[s] and labels[s] >= nt:
+                slot_to_id.setdefault(s, labels[s] + 1)
+
+        lut = np.zeros(q, np.int64)
+        for s, pid in slot_to_id.items():
+            lut[s] = pid
+        seg = np.where(valid_pixel, lut[best], 0)
+        return seg
