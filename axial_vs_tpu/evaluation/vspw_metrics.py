@@ -1,0 +1,77 @@
+"""VSPW video-semantic-segmentation metrics: mIoU, TC, VC.
+
+Re-implements the semantics of the reference's analysis scripts
+(`MaXTron_Tube-Link/scripts/test_vspw/{TC_cal.py, VC_perclip.py,
+iou_cal.py}`, T18):
+
+- mIoU: standard confusion-matrix mean IoU with ignore label;
+- VC_n (video consistency): per sliding window of n frames, the area where
+  all n GT maps agree AND all n predictions also keep that common label,
+  over the GT-common area; averaged over windows and videos;
+- TC (temporal consistency): flow-warped mIoU between consecutive frame
+  predictions — frame t's prediction warped by backward flow vs frame t+1's.
+  Flows are supplied by the caller (the reference vendors RAFT to produce
+  them; any flow estimator works — pass zeros for a static-camera bound).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class SemanticIoU:
+    def __init__(self, num_classes: int, ignore_label: int = 255):
+        self.num_classes = num_classes
+        self.ignore = ignore_label
+        self.cm = np.zeros((num_classes, num_classes), np.int64)
+
+    def update(self, gt: np.ndarray, pred: np.ndarray):
+        keep = gt != self.ignore
+        g = gt[keep].astype(np.int64)
+        p = np.clip(pred[keep].astype(np.int64), 0, self.num_classes - 1)
+        binc = np.bincount(
+            g * self.num_classes + p, minlength=self.num_classes ** 2
+        )
+        self.cm += binc.reshape(self.num_classes, self.num_classes)
+
+    def miou(self) -> float:
+        tp = self.cm.diagonal()
+        union = self.cm.sum(0) + self.cm.sum(1) - tp
+        valid = union > 0
+        return float(np.mean(tp[valid] / union[valid])) if valid.any() else 0.0
+
+
+def video_consistency(gts, preds, window: int = 8, ignore_label: int = 255):
+    """gts/preds: (V, H, W) int maps. Returns VC_window for one video."""
+    v = gts.shape[0]
+    if v < window:
+        return None
+    scores = []
+    for s in range(0, v - window + 1):
+        g = gts[s : s + window]
+        p = preds[s : s + window]
+        common_gt = np.all(g == g[0], axis=0) & (g[0] != ignore_label)
+        if common_gt.sum() == 0:
+            continue
+        consistent = np.all(p == g[0], axis=0) & common_gt
+        scores.append(consistent.sum() / common_gt.sum())
+    return float(np.mean(scores)) if scores else None
+
+
+def warp_by_flow(label_map: np.ndarray, flow: np.ndarray) -> np.ndarray:
+    """Nearest-neighbor warp of an int label map by a (H, W, 2) flow (dx, dy)."""
+    h, w = label_map.shape
+    ys, xs = np.mgrid[0:h, 0:w]
+    src_x = np.clip(np.round(xs + flow[..., 0]).astype(np.int64), 0, w - 1)
+    src_y = np.clip(np.round(ys + flow[..., 1]).astype(np.int64), 0, h - 1)
+    return label_map[src_y, src_x]
+
+
+def temporal_consistency(preds, flows, num_classes: int,
+                         ignore_label: int = 255) -> float:
+    """preds (V, H, W); flows (V-1, H, W, 2) backward flow t+1 -> t.
+    TC = mean IoU between warp(pred_t) and pred_{t+1}."""
+    metric = SemanticIoU(num_classes, ignore_label)
+    for t in range(preds.shape[0] - 1):
+        warped = warp_by_flow(preds[t], flows[t])
+        metric.update(warped, preds[t + 1])
+    return metric.miou()
