@@ -175,9 +175,13 @@ class Trainer:
             },
         }
 
-    def train(self, resume: bool = False, max_iter: int | None = None):
+    def train(self, resume: bool = False, max_iter: int | None = None,
+              eval_fn=None):
+        """eval_fn(variables_dict) -> metrics dict, run every
+        cfg.test.eval_period steps (the EvalHook equivalent, SURVEY T15)."""
         self.resume_or_load(resume)
         max_iter = max_iter or self.cfg.solver.max_iter
+        eval_period = self.cfg.test.eval_period
         start = int(self.state.step)
         it = device_prefetch(iter(self.loader), self._place_batch, depth=1)
         rng = jax.random.PRNGKey(self.cfg.seed + 1)
@@ -192,6 +196,14 @@ class Trainer:
                     step + 1
                 ) == max_iter or self.ckpt.preempted:
                     self.ckpt.save(step + 1, jax.device_get(self.state), force=True)
+                if eval_fn is not None and (
+                    (step + 1) % eval_period == 0 or (step + 1) == max_iter
+                ):
+                    results = eval_fn(
+                        {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats}
+                    )
+                    self.logger.info(f"eval @ {step + 1}: {results}")
                 if self.ckpt.preempted:
                     self.logger.warning("preemption signal: checkpoint saved, exiting")
                     break

@@ -44,11 +44,14 @@ class KMaXSegmenter(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, images, train: bool = False):
+    def __call__(self, images, train: bool = False, return_attn: bool = False):
         # images: (B*T, H, W, 3), already normalized & padded to spatial_shape.
+        height_attn = width_attn = None
         features = self.backbone(images, train=train)
         if self.wc_module is not None:
-            features, height_attn, width_attn = self.wc_module(features, train=train)
+            features, height_attn, width_attn = self.wc_module(
+                features, train=train, return_attn=return_attn
+            )
         pano, sem, ms = KMaXPixelDecoder(
             in_features=tuple(self.pixel_dec_in_features),
             dec_layers=tuple(self.pixel_dec_layers),
@@ -70,6 +73,9 @@ class KMaXSegmenter(nn.Module):
             dtype=self.dtype,
             name="transformer_decoder",
         )(ms, pano, sem, train=train)
+        if return_attn:
+            out["height_traj_attn"] = height_attn
+            out["width_traj_attn"] = width_attn
         return out
 
 

@@ -174,3 +174,62 @@ class WCInferencePipeline:
         finalize = self._finalize_fn((scaled_h, scaled_w), tuple(orig_hw))
         ids, result = finalize(avg_logits, stitched_masks)
         return np.asarray(ids)[:v], jax.tree.map(np.asarray, result), matched_embds[0]
+
+    def run_video_clipwise(self, frames: np.ndarray, orig_hw=None):
+        """``clip-wise`` inference mode (ref `maxtron_wc_model.py:316-331`):
+        each clip gets its own immediate panoptic result; whole-video id
+        consistency is recovered by the evaluator's re-ID stitching
+        (`evaluation/vipseg_evaluator.py:stitch_clips`).
+
+        Returns (clip_ids list of (T, H', W'), clip_embeddings list of
+        {contiguous_cat: [normalized embeddings]}).
+        """
+        v = frames.shape[0]
+        t = self.num_clip_frames
+        orig_hw = orig_hw or (frames.shape[1], frames.shape[2])
+        images, scaled_h, scaled_w, _ = preprocess_frames(
+            frames, self.pixel_mean, self.pixel_std, self.input_size
+        )
+        finalize = self._finalize_fn((scaled_h, scaled_w), tuple(orig_hw))
+
+        clip_ids, clip_embs = [], []
+        for ci in range(math.ceil(v / t)):
+            idx = [min(ci * t + k, v - 1) for k in range(t)]
+            logits, masks, embds = self._clip_forward(jnp.asarray(images[idx]))
+            ids, result = finalize(logits, masks)
+            ids = np.asarray(ids)
+            embds = np.asarray(embds)
+            embs_by_cat: dict = {}
+            valid = np.asarray(result.segment_valid)
+            for ok, thing, cat, slot in zip(
+                valid,
+                np.asarray(result.segment_isthing),
+                np.asarray(result.segment_category),
+                np.asarray(result.slot_index),
+            ):
+                if ok and thing:
+                    e = embds[slot]
+                    e = e / max(np.linalg.norm(e), 1e-12)
+                    embs_by_cat.setdefault(int(cat), []).append(e)
+            clip_ids.append(ids)
+            clip_embs.append(embs_by_cat)
+        return clip_ids, clip_embs
+
+    def extract_attention(self, frames_clip: np.ndarray):
+        """Axial-trajectory attention maps for one clip (the demo_attn /
+        ``visualize_attn`` use case, ref `maxtron_wc_model.py:553-656`).
+
+        Returns (height_attn, width_attn) as returned by the WC module's
+        last temporal layer: (B*W, heads, T*H, T, H) / (B*H, heads, T*W, T, W).
+        """
+        images, _, _, _ = preprocess_frames(
+            frames_clip, self.pixel_mean, self.pixel_std, self.input_size
+        )
+
+        @jax.jit
+        def attn_forward(x):
+            out = self.module.apply(self.variables, x, train=False, return_attn=True)
+            return out["height_traj_attn"], out["width_traj_attn"]
+
+        h_attn, w_attn = attn_forward(jnp.asarray(images))
+        return np.asarray(h_attn), np.asarray(w_attn)
