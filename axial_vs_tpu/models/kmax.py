@@ -46,12 +46,24 @@ class KMaXSegmenter(nn.Module):
     @nn.compact
     def __call__(self, images, train: bool = False, return_attn: bool = False):
         # images: (B*T, H, W, 3), already normalized & padded to spatial_shape.
+        from ..parallel.sharding import constrain
+
         height_attn = width_attn = None
+        images = constrain(images, "data", None, None, None)
         features = self.backbone(images, train=train)
+        # dp over the clip-frame batch + tp over channels (GSPMD propagates
+        # the channel partition into conv kernels / attention heads)
+        features = {
+            k: constrain(v, "data", None, None, "model") for k, v in features.items()
+        }
         if self.wc_module is not None:
             features, height_attn, width_attn = self.wc_module(
                 features, train=train, return_attn=return_attn
             )
+            features = {
+                k: constrain(v, "data", None, None, "model")
+                for k, v in features.items()
+            }
         pano, sem, ms = KMaXPixelDecoder(
             in_features=tuple(self.pixel_dec_in_features),
             dec_layers=tuple(self.pixel_dec_layers),
