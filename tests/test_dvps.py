@@ -1,0 +1,63 @@
+"""DVPS dataset family tests on synthetic data."""
+import numpy as np
+from PIL import Image
+
+from axial_vs_tpu.data.dvps import (
+    load_dvps_sequences, DVPSClipMapper, decode_dvps_png, register_dvps,
+)
+from axial_vs_tpu.data.catalog import DatasetCatalog
+
+
+def _make_seq(tmp_path, rng, with_labels=True):
+    img_root = tmp_path / "imgs"
+    lbl_root = tmp_path / "labels"
+    for seq in ("s0",):
+        (img_root / seq).mkdir(parents=True, exist_ok=True)
+        (lbl_root / seq).mkdir(parents=True, exist_ok=True)
+        for f in range(3):
+            Image.fromarray(
+                rng.randint(0, 255, (32, 48, 3), np.uint8)
+            ).save(img_root / seq / f"{f:04d}.jpg")
+            if with_labels:
+                lbl = np.zeros((32, 48, 3), np.uint8)
+                lbl[..., 0] = 2  # stuff class 2
+                lbl[8:20, 8 + 4 * f : 24 + 4 * f, 0] = 1  # thing class 1
+                lbl[8:20, 8 + 4 * f : 24 + 4 * f, 1] = 7  # instance 7
+                Image.fromarray(lbl).save(lbl_root / seq / f"{f:04d}.png")
+    return str(img_root), str(lbl_root)
+
+
+def test_decode_dvps_png():
+    png = np.zeros((4, 4, 3), np.uint8)
+    png[..., 0] = 5
+    png[..., 1] = 200
+    png[..., 2] = 1
+    sem, inst = decode_dvps_png(png)
+    assert sem[0, 0] == 5 and inst[0, 0] == 200 + 256
+
+
+def test_dvps_mapper(tmp_path, rng):
+    img_root, lbl_root = _make_seq(tmp_path, rng)
+    videos = load_dvps_sequences(img_root, lbl_root)
+    assert len(videos) == 1 and len(videos[0]["frames"]) == 3
+
+    mapper = DVPSClipMapper(
+        image_size=(32, 48), num_frames=2, max_instances=8, thing_classes=(1,),
+    )
+    sample = mapper(videos[0])
+    assert sample["images"].shape == (2, 32, 48, 3)
+    t = sample["targets"]
+    assert t["masks"].shape == (8, 2, 8, 12)
+    labels = set(t["labels"][t["valid"]].tolist())
+    assert labels == {1, 2}
+    # the thing tube is tracked across both frames
+    thing_slot = int(np.flatnonzero(t["labels"] == 1)[0])
+    assert t["masks"][thing_slot, 0].sum() > 0
+    assert t["masks"][thing_slot, 1].sum() > 0
+
+
+def test_register_dvps(tmp_path, rng):
+    img_root, lbl_root = _make_seq(tmp_path, rng)
+    name = f"dvps_{tmp_path.name}"
+    register_dvps(name, img_root, lbl_root, num_classes=3, thing_classes=[1])
+    assert len(DatasetCatalog.get(name)) == 1
