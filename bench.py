@@ -27,7 +27,13 @@ def main():
     backbone = "convnext_large"
     image_size = (769, 1345)
     clip_frames = 2
-    iters = int(sys.argv[sys.argv.index("--iters") + 1]) if "--iters" in sys.argv else 10
+    argv = sys.argv
+    iters = int(argv[argv.index("--iters") + 1]) if "--iters" in argv else 10
+    if "--backbone" in argv:
+        backbone = argv[argv.index("--backbone") + 1]
+    if "--size" in argv:
+        i = argv.index("--size")
+        image_size = (int(argv[i + 1]), int(argv[i + 2]))
     if "--small" in sys.argv:  # quick self-test path
         backbone = "resnet50"
         image_size = (129, 129)

@@ -146,3 +146,32 @@ def test_native_vpq_matches_numpy():
                 assert ref.fp[cat] == got.fp[cat]
                 assert ref.fn[cat] == got.fn[cat]
                 np.testing.assert_allclose(ref.iou[cat], got.iou[cat], rtol=1e-12)
+
+
+def test_dstq_against_reference_oracle():
+    # the reference file uses a relative import; exec it with a patched one
+    sys.path.insert(0, "/root/reference/MaXTron_Tube-Link/datasets/utils")
+    src = open("/root/reference/MaXTron_Tube-Link/datasets/utils/DSTQ.py").read()
+    ns = {}
+    exec(src.replace("from .STQ import", "from STQ import"), ns)
+    RefDSTQ = ns["DSTQuality"]
+
+    from axial_vs_tpu.evaluation.dstq import DSTQuality
+
+    num_classes, shift = 4, 16
+    rng = np.random.RandomState(0)
+    ref = RefDSTQ(num_classes, [1], 255, shift, 2 ** 32, (1.25, 1.1))
+    got = DSTQuality(num_classes, [1], 255, shift, 2 ** 32, (1.25, 1.1))
+    for f in range(3):
+        sem = rng.randint(0, num_classes, (16, 20))
+        inst = rng.randint(0, 3, (16, 20))
+        y_true = (sem.astype(np.int64) << shift) + inst
+        y_pred = (np.where(rng.rand(16, 20) < 0.8, sem,
+                           rng.randint(0, num_classes, (16, 20))).astype(np.int64) << shift) + inst
+        d_true = rng.rand(16, 20) * 10
+        d_pred = d_true * rng.uniform(0.8, 1.3, (16, 20))
+        ref.update_state(y_true, y_pred, d_true, d_pred, sequence_id=0)
+        got.update_state(y_true, y_pred, d_true, d_pred, sequence_id=0)
+    r, g = ref.result(), got.result()
+    np.testing.assert_allclose(g["DSTQ"], r["DSTQ"], rtol=1e-9)
+    np.testing.assert_allclose(g["DQ"], r["DQ"], rtol=1e-9)
