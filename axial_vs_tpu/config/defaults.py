@@ -31,6 +31,7 @@ def get_default_config() -> ConfigNode:
     model.meta_architecture = "KMaXDeepLab"
     model.weights = ""
     model.num_classes = 133  # without void
+    model.num_things = None  # VPS: thing-class count (None -> all things)
     model.dtype = "float32"  # compute dtype: float32 | bfloat16
 
     model.backbone = ConfigNode(

@@ -19,35 +19,13 @@ from ..data.catalog import DatasetCatalog
 from ..data.loader import ClipDataLoader, device_prefetch
 from ..data.vipseg import VIPSegClipMapper
 from ..losses.criterion import SetCriterion
-from ..models.kmax import build_segmenter
+from ..models.build import build_model_and_criterion, criterion_from_config
 from ..parallel.mesh import build_mesh
 from .checkpoint import CheckpointManager
 from .logger import MetricsLogger, setup_logger
 from .lr_schedule import tf2_warmup_poly_lr
 from .optim import build_optimizer
 from .train_step import TrainState, create_train_state, make_train_step
-
-
-def criterion_from_config(cfg) -> SetCriterion:
-    kmax = cfg.model.kmax
-    weights = {
-        "loss_ce": kmax.class_weight,
-        "loss_mask": kmax.mask_weight,
-        "loss_dice": kmax.dice_weight,
-        "loss_pixel_insdis": kmax.insdis_weight,
-        "loss_aux_semantic": kmax.aux_semantic_weight,
-    }
-    return SetCriterion(
-        num_classes=cfg.model.num_classes,
-        weights=weights,
-        eos_coef=kmax.no_object_weight,
-        share_final_matching=kmax.share_final_matching,
-        pixel_insdis_temperature=kmax.pixel_insdis_temperature,
-        pixel_insdis_sample_k=kmax.pixel_insdis_sample_k,
-        aux_semantic_temperature=kmax.aux_semantic_temperature,
-        aux_semantic_sample_k=kmax.aux_semantic_sample_k,
-        masking_void_pixel=kmax.masking_void_pixel,
-    )
 
 
 class Trainer:
@@ -69,8 +47,7 @@ class Trainer:
                 f"devices; using a {n_data}-device data mesh"
             )
         self.num_frames = cfg.input.num_video_frames
-        self.module = build_segmenter(cfg, num_frames=self.num_frames, train=True)
-        self.criterion = criterion_from_config(cfg)
+        self.module, self.criterion = build_model_and_criterion(cfg, train=True)
 
         # data
         datasets = []

@@ -15,6 +15,7 @@ from axial_vs_tpu.data.vipseg import register_vipseg_video
 
 def _tiny_cfg(tmp_name):
     cfg = get_default_config()
+    cfg.model.meta_architecture = "MaXTronWCDeepLab"
     cfg.model.backbone.name = "resnet18"
     cfg.model.backbone.resnet.depth = 18
     cfg.model.num_classes = 4
