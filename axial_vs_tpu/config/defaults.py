@@ -38,6 +38,7 @@ def get_default_config() -> ConfigNode:
         dict(
             name="resnet50",
             out_features=["res2", "res3", "res4", "res5"],
+            remat=False,  # jax.checkpoint backbone blocks during training
             # resnet
             resnet=ConfigNode(dict(depth=50, norm="syncbn", stem_type="basic")),
             # convnext (kmax config: CONVNEXT.*)

@@ -15,9 +15,9 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import ConfigNode
+from ..data.build import build_mapper
 from ..data.catalog import DatasetCatalog
 from ..data.loader import ClipDataLoader, device_prefetch
-from ..data.vipseg import VIPSegClipMapper
 from ..losses.criterion import SetCriterion
 from ..models.build import build_model_and_criterion, criterion_from_config
 from ..parallel.mesh import build_mesh
@@ -54,17 +54,7 @@ class Trainer:
         for name in cfg.datasets.train:
             datasets.extend(DatasetCatalog.get(name))
         self.dataset = datasets
-        mapper = VIPSegClipMapper(
-            image_size=cfg.input.image_size,
-            num_frames=self.num_frames,
-            min_scale=cfg.input.min_scale,
-            max_scale=cfg.input.max_scale,
-            max_instances=cfg.model.kmax.trans_dec.num_object_queries,
-            random_reverse=cfg.input.random_reverse,
-            pixel_mean=cfg.input.pixel_mean,
-            pixel_std=cfg.input.pixel_std,
-            seed=cfg.dataloader.seed,
-        )
+        mapper = build_mapper(cfg, seed=cfg.dataloader.seed)
         local_batch = local_videos
         self.loader = (
             ClipDataLoader(

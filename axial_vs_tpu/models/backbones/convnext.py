@@ -85,10 +85,16 @@ class ConvNeXt(nn.Module):
     layer_scale_init_value: float = 1e-6
     use_grn: bool = False
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
+    remat: bool = False  # jax.checkpoint each block (train-memory vs FLOPs)
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block_cls = (
+            nn.remat(ConvNeXtBlock, static_argnums=(2,))
+            if self.remat
+            else ConvNeXtBlock
+        )
         dp_rates = np.linspace(0.0, self.drop_path_rate, sum(self.depths))
         out = {}
         cur = 0
@@ -112,14 +118,14 @@ class ConvNeXt(nn.Module):
                     name=f"downsample{i}_conv",
                 )(x)
             for j in range(self.depths[i]):
-                x = ConvNeXtBlock(
+                x = block_cls(
                     dim=self.dims[i],
                     drop_path_prob=float(dp_rates[cur + j]),
                     layer_scale_init_value=self.layer_scale_init_value,
                     use_grn=self.use_grn,
                     dtype=self.dtype,
                     name=f"stage{i}_block{j}",
-                )(x, train=train)
+                )(x, train)
             cur += self.depths[i]
             stage_name = f"res{i + 2}"
             if stage_name in self.out_features:

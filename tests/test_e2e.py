@@ -16,6 +16,7 @@ from axial_vs_tpu.data.vipseg import register_vipseg_video
 def _tiny_cfg(tmp_name):
     cfg = get_default_config()
     cfg.model.meta_architecture = "MaXTronWCDeepLab"
+    cfg.input.dataset_mapper_name = "vipseg_panoptic_mapper"
     cfg.model.backbone.name = "resnet18"
     cfg.model.backbone.resnet.depth = 18
     cfg.model.num_classes = 4
