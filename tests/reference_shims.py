@@ -1,0 +1,136 @@
+"""Import the reference's torch model files with detectron2/timm stubbed.
+
+The reference model code only needs a handful of symbols from detectron2 /
+timm (registries, @configurable, DropPath, trunc_normal_tf_); stubbing them
+lets us import the real `kmax_pixel_decoder.py` / `kmax_transformer_decoder.py`
+read-only as numerical oracles.
+"""
+import importlib.util
+import sys
+import types
+
+import torch
+
+
+def _install_stubs():
+    if "detectron2" in sys.modules and getattr(
+        sys.modules["detectron2"], "__axialvs_stub__", False
+    ):
+        return
+
+    class DropPath(torch.nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    def trunc_normal_tf_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_()
+            tensor.clamp_(a, b)
+            tensor.mul_(std).add_(mean)
+        return tensor
+
+    timm = types.ModuleType("timm")
+    timm_models = types.ModuleType("timm.models")
+    timm_layers = types.ModuleType("timm.models.layers")
+    timm_layers.DropPath = DropPath
+    timm_layers.trunc_normal_tf_ = trunc_normal_tf_
+    timm.models = timm_models
+    timm_models.layers = timm_layers
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = timm_models
+    sys.modules["timm.models.layers"] = timm_layers
+
+    def configurable(init=None, *, from_config=None):
+        if init is None:
+            return lambda f: f
+        return init
+
+    class _Registry:
+        def __init__(self, *a, **k):
+            self.__doc__ = ""
+
+        def register(self, obj=None):
+            if obj is None:
+                return lambda x: x
+            return obj
+
+        def get(self, name):
+            raise KeyError(name)
+
+    d2 = types.ModuleType("detectron2")
+    d2.__axialvs_stub__ = True
+    d2_config = types.ModuleType("detectron2.config")
+    d2_config.configurable = configurable
+    d2_layers = types.ModuleType("detectron2.layers")
+
+    class ShapeSpec:
+        def __init__(self, channels=0, stride=1):
+            self.channels = channels
+            self.stride = stride
+
+    d2_layers.ShapeSpec = ShapeSpec
+    d2_modeling = types.ModuleType("detectron2.modeling")
+    d2_modeling.SEM_SEG_HEADS_REGISTRY = _Registry()
+    d2_modeling.BACKBONE_REGISTRY = _Registry()
+    d2_modeling.Backbone = torch.nn.Module
+    d2_modeling.ShapeSpec = ShapeSpec
+    d2_utils = types.ModuleType("detectron2.utils")
+    d2_utils_registry = types.ModuleType("detectron2.utils.registry")
+    d2_utils_registry.Registry = _Registry
+    d2_utils.registry = d2_utils_registry
+    for name, mod in {
+        "detectron2": d2,
+        "detectron2.config": d2_config,
+        "detectron2.layers": d2_layers,
+        "detectron2.modeling": d2_modeling,
+        "detectron2.utils": d2_utils,
+        "detectron2.utils.registry": d2_utils_registry,
+    }.items():
+        sys.modules[name] = mod
+
+
+def _load(name, path, package=None):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    if package:
+        mod.__package__ = package
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_ROOT = "/root/reference/MaXTron_Video-kMaX"
+
+
+def load_kmax_pixel_decoder():
+    """Returns the reference kmax_pixel_decoder module (torch)."""
+    _install_stubs()
+    # build the package skeleton so `..backbone.convnext` resolves
+    for pkg_name in ("kmax_ref", "kmax_ref.backbone", "kmax_ref.pixel_decoder",
+                     "kmax_ref.transformer_decoder"):
+        if pkg_name not in sys.modules:
+            pkg = types.ModuleType(pkg_name)
+            pkg.__path__ = []
+            sys.modules[pkg_name] = pkg
+    _load(
+        "kmax_ref.backbone.convnext",
+        f"{_ROOT}/kmax_deeplab/modeling/backbone/convnext.py",
+        package="kmax_ref.backbone",
+    )
+    return _load(
+        "kmax_ref.pixel_decoder.kmax_pixel_decoder",
+        f"{_ROOT}/kmax_deeplab/modeling/pixel_decoder/kmax_pixel_decoder.py",
+        package="kmax_ref.pixel_decoder",
+    )
+
+
+def load_kmax_transformer_decoder():
+    load_kmax_pixel_decoder()
+    return _load(
+        "kmax_ref.transformer_decoder.kmax_transformer_decoder",
+        f"{_ROOT}/kmax_deeplab/modeling/transformer_decoder/kmax_transformer_decoder.py",
+        package="kmax_ref.transformer_decoder",
+    )
