@@ -134,3 +134,80 @@ def load_kmax_transformer_decoder():
         f"{_ROOT}/kmax_deeplab/modeling/transformer_decoder/kmax_transformer_decoder.py",
         package="kmax_ref.transformer_decoder",
     )
+
+
+def load_cc_module():
+    """Load the reference cross-clip tracking module. Its absolute imports
+    (kmax_deeplab..., maxtron_deeplab...) are aliased onto the shim-loaded
+    modules."""
+    px = load_kmax_pixel_decoder()
+    sys.modules["kmax_deeplab"] = types.ModuleType("kmax_deeplab")
+    sys.modules["kmax_deeplab.modeling"] = types.ModuleType("kmax_deeplab.modeling")
+    sys.modules["kmax_deeplab.modeling.pixel_decoder"] = types.ModuleType(
+        "kmax_deeplab.modeling.pixel_decoder"
+    )
+    sys.modules["kmax_deeplab.modeling.pixel_decoder.kmax_pixel_decoder"] = px
+
+    import einops  # noqa: F401  (required by the reference module)
+
+    td = load_kmax_transformer_decoder()
+    mx = types.ModuleType(
+        "maxtron_deeplab.modeling.transformer_decoder.maxtron_transformer_decoder"
+    )
+    mx.add_bias_towards_void = td.add_bias_towards_void
+    for name in (
+        "maxtron_deeplab",
+        "maxtron_deeplab.modeling",
+        "maxtron_deeplab.modeling.transformer_decoder",
+    ):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules[
+        "maxtron_deeplab.modeling.transformer_decoder.maxtron_transformer_decoder"
+    ] = mx
+    return _load(
+        "cc_ref.maxtron_cross_clip_tracking_module",
+        f"{_ROOT}/maxtron_deeplab/modeling/cross_clip_tracking_module/"
+        "maxtron_cross_clip_tracking_module.py",
+    )
+
+
+def load_wc_msdeformattn():
+    """Load the reference within-clip module (msdeformattn.py). The compiled
+    CUDA extension is stubbed with a raiser so MSDeformAttn falls back to its
+    pure-pytorch path (`ms_deform_attn.py:116-121`)."""
+    _install_stubs()
+    cuda_stub = types.ModuleType("MultiScaleDeformableAttention")
+
+    def _raise(*a, **k):
+        raise RuntimeError("CUDA op not available (test stub)")
+
+    cuda_stub.ms_deform_attn_forward = _raise
+    cuda_stub.ms_deform_attn_backward = _raise
+    sys.modules["MultiScaleDeformableAttention"] = cuda_stub
+
+    wc_root = f"{_ROOT}/maxtron_deeplab/modeling/within_clip_tracking_module"
+    for pkg_name in ("wc_ref", "wc_ref.ops", "wc_ref.ops.functions",
+                     "wc_ref.ops.modules"):
+        if pkg_name not in sys.modules:
+            pkg = types.ModuleType(pkg_name)
+            pkg.__path__ = []
+            sys.modules[pkg_name] = pkg
+    _load("wc_ref.pos_embeddings", f"{wc_root}/pos_embeddings.py", package="wc_ref")
+    _load("wc_ref.temporal_attention", f"{wc_root}/temporal_attention.py",
+          package="wc_ref")
+    func_mod = _load(
+        "wc_ref.ops.functions.ms_deform_attn_func",
+        f"{wc_root}/ops/functions/ms_deform_attn_func.py",
+        package="wc_ref.ops.functions",
+    )
+    sys.modules["wc_ref.ops.functions"].MSDeformAttnFunction = (
+        func_mod.MSDeformAttnFunction
+    )
+    mod_mod = _load(
+        "wc_ref.ops.modules.ms_deform_attn",
+        f"{wc_root}/ops/modules/ms_deform_attn.py",
+        package="wc_ref.ops.modules",
+    )
+    sys.modules["wc_ref.ops.modules"].MSDeformAttn = mod_mod.MSDeformAttn
+    return _load("wc_ref.msdeformattn", f"{wc_root}/msdeformattn.py",
+                 package="wc_ref")
