@@ -118,6 +118,10 @@ class KMaXPredictor(nn.Module):
             "class_logits": class_logits,
             "mask_logits": mask_logits,
             "pixel_feature": pixel_norm,
+            # the 128-d mask kernels double as the per-slot embeddings used
+            # for cross-clip Hungarian stitching (video predictor ref
+            # maxtron_transformer_decoder.py:104-115)
+            "mask_embeddings": mask_kernel,
         }
 
 

@@ -127,8 +127,9 @@ class KMaXTransformerDecoder(nn.Module):
             "aux_outputs": aux_outputs,
         }
         if t > 1:
-            # per-clip outputs for cross-clip matching (video ref :566-578)
-            out["pred_mask_embeddings"] = mask_embeddings  # (B, N, 256)
+            # per-clip outputs for cross-clip matching (video ref :566-578):
+            # the 128-d mask kernels, NOT the 256-d projection
+            out["pred_mask_embeddings"] = final["mask_embeddings"]  # (B, N, 128)
             out["cluster_centers"] = query  # (B, N, 256)
 
         if self.add_aux_semantic_pred and train:

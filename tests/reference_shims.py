@@ -136,6 +136,28 @@ def load_kmax_transformer_decoder():
     )
 
 
+def load_maxtron_transformer_decoder():
+    """Load the reference video transformer decoder (clip-folding k-means
+    decoder, `maxtron_transformer_decoder.py`)."""
+    px = load_kmax_pixel_decoder()
+    sys.modules["kmax_deeplab"] = types.ModuleType("kmax_deeplab")
+    sys.modules["kmax_deeplab.modeling"] = types.ModuleType("kmax_deeplab.modeling")
+    sys.modules["kmax_deeplab.modeling.pixel_decoder"] = types.ModuleType(
+        "kmax_deeplab.modeling.pixel_decoder"
+    )
+    sys.modules["kmax_deeplab.modeling.pixel_decoder.kmax_pixel_decoder"] = px
+    td = load_kmax_transformer_decoder()
+    sys.modules["kmax_deeplab.modeling.transformer_decoder"] = types.ModuleType(
+        "kmax_deeplab.modeling.transformer_decoder"
+    )
+    sys.modules["kmax_deeplab.modeling.transformer_decoder.kmax_transformer_decoder"] = td
+    return _load(
+        "maxtron_ref.maxtron_transformer_decoder",
+        f"{_ROOT}/maxtron_deeplab/modeling/transformer_decoder/"
+        "maxtron_transformer_decoder.py",
+    )
+
+
 def load_cc_module():
     """Load the reference cross-clip tracking module. Its absolute imports
     (kmax_deeplab..., maxtron_deeplab...) are aliased onto the shim-loaded

@@ -131,7 +131,7 @@ def test_video_transformer_decoder(rng):
     vs = tdec.init(jax.random.PRNGKey(1), feats_ms, pano, sem, train=False)
     out = tdec.apply(vs, feats_ms, pano, sem, train=False)
     assert out["pred_masks"].shape == (2, t, 16, 16, 16)
-    assert out["pred_mask_embeddings"].shape == (2, 16, 256)
+    assert out["pred_mask_embeddings"].shape == (2, 16, 128)  # mask kernels
     assert out["cluster_centers"].shape == (2, 16, 256)
     for aux in out["aux_outputs"]:
         assert aux["pred_masks"].shape == (2, t, 16, 16, 16)
