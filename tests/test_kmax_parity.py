@@ -191,3 +191,65 @@ def test_kmax_transformer_layer_matches_reference(rng):
         np.asarray(pred_out["mask_logits"]).transpose(0, 3, 1, 2),
         pred_ref["mask_logits"].numpy(), rtol=3e-4, atol=3e-4,
     )
+
+
+def test_semantic_predictor_matches_reference(rng):
+    """Aux semantic head (ASPP + PanopticDeepLab decoder) parity."""
+    import jax.numpy as jnp
+    from axial_vs_tpu.layers.kmax_layers import SemanticPredictor
+
+    ref_mod = load_kmax_transformer_decoder()
+    torch.manual_seed(2)
+    ref = ref_mod.SemanticPredictor(
+        in_channels=64, os8_channels=48, os4_channels=32, num_classes=9,
+    ).eval()
+    _randomize_bn_stats(ref, rng)
+
+    params, stats = {}, {}
+
+    def put(name, cb):
+        p, s = _convbn(cb)
+        params[name] = p
+        if s:
+            stats[name] = s
+
+    aspp_p, aspp_s = {}, {}
+    for nm, cb in (
+        ("aspp_conv0", ref._aspp._aspp_conv0), ("aspp_conv1", ref._aspp._aspp_conv1),
+        ("aspp_conv2", ref._aspp._aspp_conv2), ("aspp_conv3", ref._aspp._aspp_conv3),
+        ("aspp_pool", ref._aspp._aspp_pool), ("proj_conv", ref._aspp._proj_conv_bn_act),
+    ):
+        p, s = _convbn(cb)
+        aspp_p[nm] = p
+        if s:
+            aspp_s[nm] = s
+    params["aspp"] = aspp_p
+    stats["aspp"] = aspp_s
+    put("low_level_projection_os8", ref._low_level_projection_os8)
+    put("low_level_fusion_os8_conv0", ref._low_level_fusion_os8_conv0_bn_act)
+    put("low_level_fusion_os8_conv1", ref._low_level_fusion_os8_conv1_bn_act)
+    put("low_level_projection_os4", ref._low_level_projection_os4)
+    put("low_level_fusion_os4_conv0", ref._low_level_fusion_os4_conv0_bn_act)
+    put("low_level_fusion_os4_conv1", ref._low_level_fusion_os4_conv1_bn_act)
+    put("conv_block_0", ref.conv_block_0)
+    put("conv_block_1", ref.conv_block_1)
+    put("final_conv", ref.final_conv)
+
+    x = rng.randn(1, 64, 5, 7).astype(np.float32)
+    os8 = rng.randn(1, 48, 10, 14).astype(np.float32)
+    os4 = rng.randn(1, 32, 20, 28).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x), torch.from_numpy(os8),
+                      torch.from_numpy(os4)).numpy()
+
+    mine = SemanticPredictor(num_classes=9)
+    out = mine.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(os8.transpose(0, 2, 3, 1)),
+        jnp.asarray(os4.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), out_ref, rtol=1e-3, atol=1e-3
+    )
