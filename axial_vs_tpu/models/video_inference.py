@@ -145,13 +145,17 @@ class WCInferencePipeline:
 
         num_clips = math.ceil(v / t)
         logits_list, masks_list, embds_list = [], [], []
+        # dispatch the whole clip stream without ever blocking: device_put and
+        # jit calls are async, so clip i+1's host->HBM transfer overlaps clip
+        # i's compute (the double-buffered prefetch of SURVEY §7 step 5)
         for ci in range(num_clips):
             idx = [min(ci * t + k, v - 1) for k in range(t)]
-            clip = jnp.asarray(images[idx])
+            clip = jax.device_put(images[idx])
             logits, masks, embds = self._clip_forward(clip)
             logits_list.append(logits)
             masks_list.append(masks)
-            embds_list.append(np.asarray(embds))
+            embds_list.append(embds)
+        embds_list = [np.asarray(e) for e in embds_list]
 
         # Hungarian stitching on mask-embedding cosine (host; overlaps device)
         perms = [np.arange(embds_list[0].shape[0])]
