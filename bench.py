@@ -97,6 +97,16 @@ def main():
     out = clip_forward(images)
     jax.block_until_ready(out)
 
+    if "--profile" in sys.argv:
+        # capture a device trace of a few steady-state steps for kernel
+        # analysis (written under .profile/, inspect with tensorboard or
+        # jax.profiler tooling)
+        jax.profiler.start_trace(".profile")
+        for _ in range(3):
+            out = clip_forward(images)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+
     start = time.perf_counter()
     for _ in range(iters):
         out = clip_forward(images)
