@@ -24,20 +24,22 @@ from .trajectory_attention import _dense, xavier_uniform, torch_linear_bias_init
 from ..ops.norm import LayerNorm
 
 
-def reference_points_for_shapes(
-    spatial_shapes: Sequence[Tuple[int, int]]
-) -> np.ndarray:
-    """Static (S, L, 2) normalized (x, y) reference points: each flattened
-    token's own pixel center, replicated for every level
-    (ref `msdeformattn.py:229-242` with valid_ratios == 1)."""
+def reference_points_for_shapes(spatial_shapes: Sequence[Tuple[int, int]]):
+    """(S, L, 2) normalized (x, y) reference points: each flattened token's
+    own pixel center, replicated for every level (ref `msdeformattn.py:
+    229-242` with valid_ratios == 1). Computed with jnp iota (not a baked
+    literal) to keep HLO payloads small."""
     pts = []
     for h, w in spatial_shapes:
-        ys = (np.arange(h, dtype=np.float32) + 0.5) / h
-        xs = (np.arange(w, dtype=np.float32) + 0.5) / w
-        yy, xx = np.meshgrid(ys, xs, indexing="ij")
-        pts.append(np.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1))
-    ref = np.concatenate(pts, axis=0)  # (S, 2)
-    return np.broadcast_to(ref[:, None, :], (ref.shape[0], len(spatial_shapes), 2))
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        yy = jnp.broadcast_to(ys[:, None], (h, w)).reshape(-1)
+        xx = jnp.broadcast_to(xs[None, :], (h, w)).reshape(-1)
+        pts.append(jnp.stack([xx, yy], axis=-1))
+    ref = jnp.concatenate(pts, axis=0)  # (S, 2)
+    return jnp.broadcast_to(
+        ref[:, None, :], (ref.shape[0], len(spatial_shapes), 2)
+    )
 
 
 def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
