@@ -86,11 +86,17 @@ def ms_deform_attn(
     idx_bm = idx.transpose(0, 2, 1, 3, 4, 5) + bm_base[:, :, None, None, None, None]
     g = flat.at[idx_bm.reshape(-1)].get(
         mode="promise_in_bounds"
-    )  # (B*M*Lq*L*4*P, D)
-    g = g.reshape(b, m, lq, num_levels, 4, p, d).astype(jnp.float32)
+    )  # (B*M*Lq*L*4*P, D), kept in the value dtype (no convert materialized)
+    g = g.reshape(b, m, lq, num_levels * 4 * p, d)
 
     combined = (
         wgt * attention_weights[:, :, :, :, None, :].astype(jnp.float32)
-    ).transpose(0, 2, 1, 3, 4, 5)  # (B, M, Lq, L, 4, P)
-    out = jnp.einsum("bmqlkp,bmqlkpd->bqmd", combined, g)
+    ).transpose(0, 2, 1, 3, 4, 5).reshape(b, m, lq, num_levels * 4 * p)
+    out = jax.lax.dot_general(
+        combined.astype(value.dtype),
+        g,
+        dimension_numbers=((((3,), (3,)), ((0, 1, 2), (0, 1, 2)))),
+        preferred_element_type=jnp.float32,
+    )  # (B, M, Lq, D)
+    out = out.transpose(0, 2, 1, 3)
     return out.reshape(b, lq, m * d).astype(value.dtype)
