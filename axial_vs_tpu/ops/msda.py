@@ -51,10 +51,18 @@ def ms_deform_attn(
         [[0], np.cumsum([h * w for h, w in spatial_shapes])[:-1]]
     )
 
-    idx_parts = []   # per level: (B, Lq, M, 4, P) in-level row indices
-    wgt_parts = []   # per level: (B, Lq, M, 4, P) bilinear corner weights
+    # go head-major ONCE up front so every large intermediate (indices,
+    # weights, gathered rows) is already in gather/dot order — no 16M-element
+    # transposes downstream
+    loc_m = sampling_locations.transpose(0, 2, 1, 3, 4, 5).astype(jnp.float32)
+    aw_m = attention_weights.transpose(0, 2, 1, 3, 4).astype(jnp.float32)
+
+    idx_parts = []   # per level: (B, M, Lq, 4, P) flat row indices
+    wgt_parts = []   # per level: (B, M, Lq, 4, P) corner x attention weights
+    bm_base = (jnp.arange(b * m, dtype=jnp.int32) * s).reshape(b, m)
     for lvl, (h, w) in enumerate(spatial_shapes):
-        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)
+        loc = loc_m[:, :, :, lvl]
+        aw = aw_m[:, :, :, lvl]  # (B, M, Lq, P)
         ix = loc[..., 0] * w - 0.5
         iy = loc[..., 1] * h - 0.5
         x0 = jnp.floor(ix)
@@ -71,29 +79,26 @@ def ms_deform_attn(
                 valid = (xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
                 xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
                 yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
-                corner_idx.append(int(level_start[lvl]) + yi * w + xi)
-                corner_wgt.append(jnp.where(valid, wgt, 0.0))
+                corner_idx.append(
+                    int(level_start[lvl])
+                    + yi * w + xi
+                    + bm_base[:, :, None, None]
+                )
+                corner_wgt.append(
+                    (jnp.where(valid, wgt, 0.0) * aw).astype(value.dtype)
+                )
         idx_parts.append(jnp.stack(corner_idx, axis=3))
         wgt_parts.append(jnp.stack(corner_wgt, axis=3))
 
-    idx = jnp.stack(idx_parts, axis=3)  # (B, Lq, M, L, 4, P)
-    wgt = jnp.stack(wgt_parts, axis=3)  # (B, Lq, M, L, 4, P)
+    idx = jnp.stack(idx_parts, axis=3)  # (B, M, Lq, L, 4, P)
+    wgt = jnp.stack(wgt_parts, axis=3)  # (B, M, Lq, L, 4, P), value dtype
 
-    # one gather for everything: order rows (B, M, Lq, L, 4, P)
-    bm_base = (
-        jnp.arange(b * m, dtype=jnp.int32).reshape(b, m) * s
-    )  # (B, M)
-    idx_bm = idx.transpose(0, 2, 1, 3, 4, 5) + bm_base[:, :, None, None, None, None]
-    g = flat.at[idx_bm.reshape(-1)].get(
+    g = flat.at[idx.reshape(-1)].get(
         mode="promise_in_bounds"
-    )  # (B*M*Lq*L*4*P, D), kept in the value dtype (no convert materialized)
-    g = g.reshape(b, m, lq, num_levels * 4 * p, d)
+    ).reshape(b, m, lq, num_levels * 4 * p, d)
 
-    combined = (
-        wgt * attention_weights[:, :, :, :, None, :].astype(jnp.float32)
-    ).transpose(0, 2, 1, 3, 4, 5).reshape(b, m, lq, num_levels * 4 * p)
     out = jax.lax.dot_general(
-        combined.astype(value.dtype),
+        wgt.reshape(b, m, lq, num_levels * 4 * p),
         g,
         dimension_numbers=((((3,), (3,)), ((0, 1, 2), (0, 1, 2)))),
         preferred_element_type=jnp.float32,
