@@ -97,11 +97,9 @@ def ms_deform_attn(
         mode="promise_in_bounds"
     ).reshape(b, m, lq, num_levels * 4 * p, d)
 
-    out = jax.lax.dot_general(
-        wgt.reshape(b, m, lq, num_levels * 4 * p),
-        g,
-        dimension_numbers=((((3,), (3,)), ((0, 1, 2), (0, 1, 2)))),
-        preferred_element_type=jnp.float32,
-    )  # (B, M, Lq, D)
+    # weighted sum over the 48 samples as an all-bf16 multiply+reduce: a
+    # batched dot_general here makes XLA upcast the 16M gathered rows to f32
+    # (2 x 20 ms/clip of pure converts at VIPSeg scale)
+    out = jnp.sum(g * wgt.reshape(b, m, lq, num_levels * 4 * p)[..., None], axis=3)
     out = out.transpose(0, 2, 1, 3)
     return out.reshape(b, lq, m * d).astype(value.dtype)
