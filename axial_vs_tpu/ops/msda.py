@@ -1,21 +1,21 @@
-"""Multi-scale deformable attention core op — XLA formulation.
+"""Multi-scale deformable attention core op — TPU-tuned XLA formulation.
 
 TPU-native replacement for the reference's CUDA extension
 (`.../ops/src/cuda/ms_deform_im2col_cuda.cuh`, semantics defined by the
 pure-pytorch oracle `.../ops/functions/ms_deform_attn_func.py:52-72`):
 per-query bilinear sampling at P points per level per head, weighted-summed
-by softmaxed attention weights.
+by softmaxed attention weights. Semantics match ``F.grid_sample(
+mode='bilinear', padding_mode='zeros', align_corners=False)`` exactly.
 
-Semantics matched exactly to ``F.grid_sample(mode='bilinear',
-padding_mode='zeros', align_corners=False)`` on grids ``2*loc - 1``:
-pixel coordinate ``ix = loc_x * W - 0.5``; out-of-range corners contribute
-zero (via zeroed weights on clipped indices).
-
-Performance note (measured on v5e): XLA TPU gathers are shape-sensitive.
-A 4-D ``take_along_axis`` with per-head index arrays lowers ~160 ms/layer at
-VIPSeg scale; ONE flat row-gather over a 2-D ``(B*M*S, D)`` operand with
-``promise_in_bounds`` indices is ~14x faster. All levels and all 4 bilinear
-corners are folded into a single gather per call.
+TPU gather performance is ROW-COUNT bound (measured on v5e: 16.6M x 32-wide
+bf16 rows = 34 ms, 4.15M x 128-wide = 6.6 ms for the same bytes), so instead
+of gathering 4 bilinear corners separately we build a PACKED CORNER TABLE:
+for every pixel r the table row holds [v[r], v[r+1], v[r+W], v[r+W+1]]
+(4*D wide) so one gather per sampling point fetches the whole 2x2
+neighborhood. Border points remap their corner weights onto the clipped
+top-left slot (the roll-wrapped garbage lanes always carry zero weight).
+Everything runs head-major and all-bf16; the final sample reduction is an
+elementwise multiply+reduce (a batched dot makes XLA upcast to f32).
 """
 from __future__ import annotations
 
@@ -33,7 +33,7 @@ def ms_deform_attn(
     attention_weights: jnp.ndarray,
 ) -> jnp.ndarray:
     """Args:
-      value: (B, S, M, D) — levels flattened along S (sum of H*W).
+      value: (B, S, M, D) — levels flattened along S (sum of H*W, row-major).
       spatial_shapes: static ((H_0, W_0), ...) per level.
       sampling_locations: (B, Lq, M, L, P, 2) normalized (x, y) in [0, 1].
       attention_weights: (B, Lq, M, L, P), already softmaxed over L*P.
@@ -44,22 +44,37 @@ def ms_deform_attn(
     assert num_levels == len(spatial_shapes)
     assert s == sum(h * w for h, w in spatial_shapes)
 
-    # flat row table: (B*M*S, D); row id = ((b*M + m)*S + s)
-    flat = value.transpose(0, 2, 1, 3).reshape(b * m * s, d)
-
     level_start = np.concatenate(
         [[0], np.cumsum([h * w for h, w in spatial_shapes])[:-1]]
     )
 
-    # go head-major ONCE up front so every large intermediate (indices,
-    # weights, gathered rows) is already in gather/dot order — no 16M-element
-    # transposes downstream
+    # ---- packed 2x2 corner table: (B*M*S, 4*D) ------------------------------
+    packed_parts = []
+    offset = 0
+    for h, w in spatial_shapes:
+        v_l = jax.lax.dynamic_slice_in_dim(value, offset, h * w, axis=1)
+        offset += h * w
+        packed_parts.append(
+            jnp.concatenate(
+                [
+                    v_l,
+                    jnp.roll(v_l, -1, axis=1),        # (y0, x0+1)
+                    jnp.roll(v_l, -w, axis=1),        # (y0+1, x0)
+                    jnp.roll(v_l, -(w + 1), axis=1),  # (y0+1, x0+1)
+                ],
+                axis=-1,
+            )
+        )
+    packed = jnp.concatenate(packed_parts, axis=1)  # (B, S, M, 4D)
+    flat = packed.transpose(0, 2, 1, 3).reshape(b * m * s, 4 * d)
+
+    # head-major up front: large intermediates already in gather/reduce order
     loc_m = sampling_locations.transpose(0, 2, 1, 3, 4, 5).astype(jnp.float32)
     aw_m = attention_weights.transpose(0, 2, 1, 3, 4).astype(jnp.float32)
-
-    idx_parts = []   # per level: (B, M, Lq, 4, P) flat row indices
-    wgt_parts = []   # per level: (B, M, Lq, 4, P) corner x attention weights
     bm_base = (jnp.arange(b * m, dtype=jnp.int32) * s).reshape(b, m)
+
+    idx_parts = []   # per level: (B, M, Lq, P) packed-row indices
+    wgt_parts = []   # per level: (B, M, Lq, P, 4) per-slot weights
     for lvl, (h, w) in enumerate(spatial_shapes):
         loc = loc_m[:, :, :, lvl]
         aw = aw_m[:, :, :, lvl]  # (B, M, Lq, P)
@@ -70,36 +85,38 @@ def ms_deform_attn(
         tx = ix - x0
         ty = iy - y0
 
-        corner_idx, corner_wgt = [], []
-        for dy in (0, 1):
-            for dx in (0, 1):
-                xc = x0 + dx
-                yc = y0 + dy
-                wgt = (tx if dx else 1.0 - tx) * (ty if dy else 1.0 - ty)
-                valid = (xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
-                xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
-                yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
-                corner_idx.append(
-                    int(level_start[lvl])
-                    + yi * w + xi
-                    + bm_base[:, :, None, None]
-                )
-                corner_wgt.append(
-                    (jnp.where(valid, wgt, 0.0) * aw).astype(value.dtype)
-                )
-        idx_parts.append(jnp.stack(corner_idx, axis=3))
-        wgt_parts.append(jnp.stack(corner_wgt, axis=3))
+        def slot_weights(c0, t, size):
+            """True corner weights mapped onto the clipped 2-slot window."""
+            w0 = (1.0 - t) * ((c0 >= 0) & (c0 <= size - 1))
+            w1 = t * ((c0 + 1 >= 0) & (c0 + 1 <= size - 1))
+            shifted = c0 == -1  # valid corner is c0+1; it lands in slot 0
+            s0 = jnp.where(shifted, w1, w0)
+            s1 = jnp.where(shifted, 0.0, w1)
+            return s0, s1
 
-    idx = jnp.stack(idx_parts, axis=3)  # (B, M, Lq, L, 4, P)
-    wgt = jnp.stack(wgt_parts, axis=3)  # (B, M, Lq, L, 4, P), value dtype
+        wx0, wx1 = slot_weights(x0, tx, w)
+        wy0, wy1 = slot_weights(y0, ty, h)
+        # slot order matches the packed concat: (dy, dx) = 00, 01, 10, 11
+        slot_w = jnp.stack(
+            [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1
+        ) * aw[..., None]
+        wgt_parts.append(slot_w.astype(value.dtype))
+
+        xi = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+        idx_parts.append(
+            int(level_start[lvl]) + yi * w + xi + bm_base[:, :, None, None]
+        )
+
+    idx = jnp.stack(idx_parts, axis=3)  # (B, M, Lq, L, P)
+    wgt = jnp.stack(wgt_parts, axis=3)  # (B, M, Lq, L, P, 4)
 
     g = flat.at[idx.reshape(-1)].get(
         mode="promise_in_bounds"
-    ).reshape(b, m, lq, num_levels * 4 * p, d)
+    ).reshape(b, m, lq, num_levels * p, 4, d)
 
-    # weighted sum over the 48 samples as an all-bf16 multiply+reduce: a
-    # batched dot_general here makes XLA upcast the 16M gathered rows to f32
-    # (2 x 20 ms/clip of pure converts at VIPSeg scale)
-    out = jnp.sum(g * wgt.reshape(b, m, lq, num_levels * 4 * p)[..., None], axis=3)
+    out = jnp.sum(
+        g * wgt.reshape(b, m, lq, num_levels * p, 4)[..., None], axis=(3, 4)
+    )
     out = out.transpose(0, 2, 1, 3)
     return out.reshape(b, lq, m * d).astype(value.dtype)
