@@ -48,33 +48,37 @@ def ms_deform_attn(
         [[0], np.cumsum([h * w for h, w in spatial_shapes])[:-1]]
     )
 
-    # ---- packed 2x2 corner table: (B*M*S, 4*D) ------------------------------
-    # transpose head-major FIRST (34MB) so the 4x-wider packed table is built
-    # directly in its final compact layout (a post-pack transpose costs
-    # ~10 ms/layer at VIPSeg scale)
-    v_bm = value.transpose(0, 2, 1, 3)  # (B, M, S, D)
+    # ---- packed 2x2 corner table: (B*S*M, 4*D) ------------------------------
+    # row order (b, s, m) matches the value layout, so the pack is pure
+    # compact reads/writes — NO head transpose (a transposed pack costs
+    # ~10 ms/layer at VIPSeg scale because XLA fuses it into an 88MB
+    # strided copy)
     packed_parts = []
     offset = 0
     for h, w in spatial_shapes:
-        v_l = jax.lax.dynamic_slice_in_dim(v_bm, offset, h * w, axis=2)
+        v_l = jax.lax.dynamic_slice_in_dim(value, offset, h * w, axis=1)
         offset += h * w
         packed_parts.append(
             jnp.concatenate(
                 [
                     v_l,
-                    jnp.roll(v_l, -1, axis=2),        # (y0, x0+1)
-                    jnp.roll(v_l, -w, axis=2),        # (y0+1, x0)
-                    jnp.roll(v_l, -(w + 1), axis=2),  # (y0+1, x0+1)
+                    jnp.roll(v_l, -1, axis=1),        # (y0, x0+1)
+                    jnp.roll(v_l, -w, axis=1),        # (y0+1, x0)
+                    jnp.roll(v_l, -(w + 1), axis=1),  # (y0+1, x0+1)
                 ],
                 axis=-1,
             )
         )
-    flat = jnp.concatenate(packed_parts, axis=2).reshape(b * m * s, 4 * d)
+    flat = jnp.concatenate(packed_parts, axis=1).reshape(b * s * m, 4 * d)
 
     # head-major up front: large intermediates already in gather/reduce order
     loc_m = sampling_locations.transpose(0, 2, 1, 3, 4, 5).astype(jnp.float32)
     aw_m = attention_weights.transpose(0, 2, 1, 3, 4).astype(jnp.float32)
-    bm_base = (jnp.arange(b * m, dtype=jnp.int32) * s).reshape(b, m)
+    # row id = (b*S + s)*M + m
+    bm_base = (
+        jnp.arange(b, dtype=jnp.int32)[:, None] * (s * m)
+        + jnp.arange(m, dtype=jnp.int32)[None, :]
+    )
 
     idx_parts = []   # per level: (B, M, Lq, P) packed-row indices
     wgt_parts = []   # per level: (B, M, Lq, P, 4) per-slot weights
@@ -108,7 +112,7 @@ def ms_deform_attn(
         xi = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
         idx_parts.append(
-            int(level_start[lvl]) + yi * w + xi + bm_base[:, :, None, None]
+            (int(level_start[lvl]) + yi * w + xi) * m + bm_base[:, :, None, None]
         )
 
     idx = jnp.stack(idx_parts, axis=3)  # (B, M, Lq, L, P)
