@@ -118,12 +118,24 @@ def ms_deform_attn(
     idx = jnp.stack(idx_parts, axis=3)  # (B, M, Lq, L, P)
     wgt = jnp.stack(wgt_parts, axis=3)  # (B, M, Lq, L, P, 4)
 
+    # reduce WITHOUT splitting the 128-lane minor dim (a (...,4,D) reshape of
+    # the 1GB gather output retiles T(8,128)->T(4,128): ~10 ms/layer). The
+    # corner weights are lane-repeated (fused by XLA into the multiply), the
+    # L*P samples reduce in-tile, and only the small (...,4*D) result is
+    # folded over corners.
     g = flat.at[idx.reshape(-1)].get(
         mode="promise_in_bounds"
-    ).reshape(b, m, lq, num_levels * p, 4, d)
+    ).reshape(b, m, lq, num_levels * p, 4 * d)
 
-    out = jnp.sum(
-        g * wgt.reshape(b, m, lq, num_levels * p, 4)[..., None], axis=(3, 4)
+    w128 = jnp.repeat(
+        wgt.reshape(b, m, lq, num_levels * p, 4), d, axis=-1
+    )  # fused into the multiply below
+    out128 = jnp.sum(g * w128, axis=3)  # (B, M, Lq, 4*D)
+    out = (
+        out128[..., 0 * d : 1 * d]
+        + out128[..., 1 * d : 2 * d]
+        + out128[..., 2 * d : 3 * d]
+        + out128[..., 3 * d : 4 * d]
     )
     out = out.transpose(0, 2, 1, 3)
     return out.reshape(b, lq, m * d).astype(value.dtype)
