@@ -121,21 +121,35 @@ def ms_deform_attn(
     wgt = jnp.concatenate(wgt_parts, axis=3)  # (B, M, Lq, L*P, 4)
 
     # reduce WITHOUT splitting the 128-lane minor dim (a (...,4,D) reshape of
-    # the 1GB gather output retiles T(8,128)->T(4,128): ~10 ms/layer). The
-    # corner weights are lane-repeated (fused by XLA into the multiply), the
-    # L*P samples reduce in-tile, and only the small (...,4*D) result is
-    # folded over corners.
+    # the 1GB gather output retiles T(8,128)->T(4,128): ~10 ms/layer).
+    n_samples = num_levels * p
+    rows = b * m * lq
     g = flat.at[idx.reshape(-1)].get(
         mode="promise_in_bounds"
-    ).reshape(b, m, lq, num_levels * p, 4 * d)
+    ).reshape(rows, n_samples, 4 * d)
+    w = wgt.reshape(rows, n_samples, 4)
 
-    w128 = jnp.repeat(wgt, d, axis=-1)  # fused into the multiply below
-    out128 = jnp.sum(g * w128, axis=3)  # (B, M, Lq, 4*D)
-    out = (
-        out128[..., 0 * d : 1 * d]
-        + out128[..., 1 * d : 2 * d]
-        + out128[..., 2 * d : 3 * d]
-        + out128[..., 3 * d : 4 * d]
-    )
-    out = out.transpose(0, 2, 1, 3)
+    if jax.default_backend() == "tpu" and d % 8 == 0:
+        # fused Pallas reduction: expands the (S, 4) slot weights in-VMEM
+        # (XLA otherwise materializes + relayouts a 1GB lane-repeated weight
+        # tensor, ~12 ms/layer at VIPSeg scale)
+        from .msda_pallas import weighted_corner_reduce
+
+        block = 128
+        pad = (-rows) % block
+        if pad:
+            g = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
+            w = jnp.pad(w, ((0, pad), (0, 0), (0, 0)))
+        out = weighted_corner_reduce(g, w, block_rows=block)[:rows]
+    else:
+        w128 = jnp.repeat(w, d, axis=-1)
+        out128 = jnp.sum(g * w128, axis=1)  # (rows, 4*D)
+        out = (
+            out128[:, 0 * d : 1 * d]
+            + out128[:, 1 * d : 2 * d]
+            + out128[:, 2 * d : 3 * d]
+            + out128[:, 3 * d : 4 * d]
+        )
+
+    out = out.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
     return out.reshape(b, lq, m * d).astype(value.dtype)
