@@ -129,10 +129,15 @@ def ms_deform_attn(
     ).reshape(rows, n_samples, 4 * d)
     w = wgt.reshape(rows, n_samples, 4)
 
-    if jax.default_backend() == "tpu" and d % 8 == 0:
-        # fused Pallas reduction: expands the (S, 4) slot weights in-VMEM
-        # (XLA otherwise materializes + relayouts a 1GB lane-repeated weight
-        # tensor, ~12 ms/layer at VIPSeg scale)
+    import os
+
+    if (
+        os.environ.get("AXIALVS_MSDA_PALLAS") == "1"
+        and jax.default_backend() == "tpu"
+        and d % 8 == 0
+    ):
+        # fused Pallas reduction — correct but currently ~15% slower than the
+        # XLA path below (block pipelining not yet tuned); opt-in via env
         from .msda_pallas import weighted_corner_reduce
 
         block = 128
