@@ -49,6 +49,7 @@ def get_default_config() -> ConfigNode:
                     drop_path_rate=0.6,
                     layer_scale_init_value=1e-6,
                     use_grn=False,  # True -> ConvNeXtV2
+                    use_scan=False,  # nn.scan blocks/stage (fast compile -L)
                 )
             ),
             swin=ConfigNode(

@@ -37,6 +37,38 @@ class GRN(nn.Module):
         return (gamma * (x * nx.astype(x.dtype)) + beta + x).astype(x.dtype)
 
 
+class ConvNeXtBlockScanBody(nn.Module):
+    """Scan-compatible block: carry = x, scanned input = drop-path rate.
+
+    Used with nn.scan to collapse a stage's blocks into ONE compiled body
+    (stacked params) — ConvNeXt-L's 108 unrolled blocks otherwise blow
+    compile time/payloads past what the remote-compile tunnel tolerates.
+    """
+
+    dim: int
+    layer_scale_init_value: float = 1e-6
+    use_grn: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, dp_rate, train: bool = False):
+        y = ConvNeXtBlock(
+            dim=self.dim,
+            drop_path_prob=0.0,  # handled below with the traced rate
+            layer_scale_init_value=self.layer_scale_init_value,
+            use_grn=self.use_grn,
+            dtype=self.dtype,
+            name="block",
+        )(x, train=False)  # train=False disables the inner (static) DropPath
+        delta = y - x
+        if train:
+            keep = 1.0 - dp_rate
+            rng = self.make_rng("dropout")
+            mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+            delta = delta * mask.astype(x.dtype) / jnp.maximum(keep, 1e-6).astype(x.dtype)
+        return x + delta, None
+
+
 class ConvNeXtBlock(nn.Module):
     dim: int
     drop_path_prob: float = 0.0
@@ -86,6 +118,7 @@ class ConvNeXt(nn.Module):
     use_grn: bool = False
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     remat: bool = False  # jax.checkpoint each block (train-memory vs FLOPs)
+    use_scan: bool = False  # nn.scan blocks per stage (fast compile for -L)
     dtype: Any = None
 
     @nn.compact
@@ -117,15 +150,37 @@ class ConvNeXt(nn.Module):
                     bias_init=nn.initializers.zeros, dtype=self.dtype,
                     name=f"downsample{i}_conv",
                 )(x)
-            for j in range(self.depths[i]):
-                x = block_cls(
+            if self.use_scan:
+                body = ConvNeXtBlockScanBody if not self.remat else nn.remat(
+                    ConvNeXtBlockScanBody, static_argnums=(3,)
+                )
+                scanned = nn.scan(
+                    body,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=(0, nn.broadcast),
+                    length=self.depths[i],
+                )(
                     dim=self.dims[i],
-                    drop_path_prob=float(dp_rates[cur + j]),
                     layer_scale_init_value=self.layer_scale_init_value,
                     use_grn=self.use_grn,
                     dtype=self.dtype,
-                    name=f"stage{i}_block{j}",
-                )(x, train)
+                    name=f"stage{i}_blocks",
+                )
+                rates = jnp.asarray(
+                    dp_rates[cur : cur + self.depths[i]], jnp.float32
+                )
+                x, _ = scanned(x, rates, train)
+            else:
+                for j in range(self.depths[i]):
+                    x = block_cls(
+                        dim=self.dims[i],
+                        drop_path_prob=float(dp_rates[cur + j]),
+                        layer_scale_init_value=self.layer_scale_init_value,
+                        use_grn=self.use_grn,
+                        dtype=self.dtype,
+                        name=f"stage{i}_block{j}",
+                    )(x, train)
             cur += self.depths[i]
             stage_name = f"res{i + 2}"
             if stage_name in self.out_features:

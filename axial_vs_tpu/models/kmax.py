@@ -113,6 +113,7 @@ def build_backbone(cfg, dtype=None):
             layer_scale_init_value=c.layer_scale_init_value,
             use_grn=bool(c.use_grn),
             out_features=out_features,
+            use_scan=bool(c.get("use_scan", False)),
             remat=bool(cfg.model.backbone.get("remat", False)),
             dtype=dtype,
             name="backbone",

@@ -185,3 +185,26 @@ def prepare_cc_weights(variables):
             if k in pred:
                 cc_pred[k] = copy.deepcopy(pred[k])
     return variables
+
+
+def stack_convnext_for_scan(params: Dict, depths=(3, 3, 27, 3)) -> Dict:
+    """Convert unrolled per-block ConvNeXt params (stage{i}_block{j}) into
+    the nn.scan layout (stage{i}_blocks/block with a stacked leading axis)."""
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    out = {}
+    staged: Dict = {}
+    for k, v in params.items():
+        if "_block" in k and not k.endswith("_blocks"):
+            stage, bi = k.split("_block")
+            staged.setdefault(stage, {})[int(bi)] = v
+        else:
+            out[k] = v
+    for stage, blocks in staged.items():
+        stacked = jtu.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[blocks[i] for i in sorted(blocks)],
+        )
+        out[f"{stage}_blocks"] = {"block": stacked}
+    return out
