@@ -189,3 +189,22 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
     )
+
+
+def test_convnext_scan_matches_unrolled(rng):
+    """nn.scan'd stages (compile-size optimization) are numerically identical
+    to the unrolled blocks; the converter stacking helper maps params."""
+    from axial_vs_tpu.models.backbones.convnext import ConvNeXt
+    from axial_vs_tpu.utils.torch_convert import stack_convnext_for_scan
+
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    m1 = ConvNeXt(depths=(2, 2, 2, 2), dims=(8, 16, 24, 32), use_scan=False)
+    m2 = ConvNeXt(depths=(2, 2, 2, 2), dims=(8, 16, 24, 32), use_scan=True)
+    vs1 = m1.init(jax.random.PRNGKey(0), x)
+    p2 = stack_convnext_for_scan(vs1["params"], depths=(2, 2, 2, 2))
+    o1 = m1.apply(vs1, x)
+    o2 = m2.apply({"params": p2}, x)
+    for k in ("res2", "res5"):
+        np.testing.assert_allclose(
+            np.asarray(o1[k]), np.asarray(o2[k]), atol=1e-5
+        )
