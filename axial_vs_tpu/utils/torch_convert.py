@@ -208,3 +208,57 @@ def stack_convnext_for_scan(params: Dict, depths=(3, 3, 27, 3)) -> Dict:
         )
         out[f"{stage}_blocks"] = {"block": stacked}
     return out
+
+
+def convert_swin(sd: Dict, depths=(2, 2, 6, 2)):
+    """Official Swin state_dict (patch_embed.*, layers.X.blocks.Y.*,
+    layers.X.downsample.*) -> params for models/backbones/swin.py. The
+    reference loads these via its mmcv_custom checkpoint loader."""
+    params = {}
+    params["patch_embed"] = {
+        "kernel": conv_w(np.asarray(sd["patch_embed.proj.weight"])),
+        "bias": np.asarray(sd["patch_embed.proj.bias"]),
+    }
+    if "patch_embed.norm.weight" in sd:
+        params["patch_norm"] = {
+            "scale": np.asarray(sd["patch_embed.norm.weight"]),
+            "bias": np.asarray(sd["patch_embed.norm.bias"]),
+        }
+
+    def ln(prefix):
+        return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+    def lin(prefix):
+        out = {"kernel": linear_w(sd[f"{prefix}.weight"])}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+        return out
+
+    for si, depth in enumerate(depths):
+        for bi in range(depth):
+            t = f"layers.{si}.blocks.{bi}"
+            qkv = lin(f"{t}.attn.qkv")
+            params[f"stage{si}_block{bi}"] = {
+                "norm1": ln(f"{t}.norm1"),
+                "norm2": ln(f"{t}.norm2"),
+                "attn": {
+                    "qkv": qkv,
+                    "proj": lin(f"{t}.attn.proj"),
+                    "relative_position_bias_table": np.asarray(
+                        sd[f"{t}.attn.relative_position_bias_table"]
+                    ),
+                },
+                "mlp_fc1": lin(f"{t}.mlp.fc1"),
+                "mlp_fc2": lin(f"{t}.mlp.fc2"),
+            }
+        if si < len(depths) - 1 and f"layers.{si}.downsample.reduction.weight" in sd:
+            params[f"merge_norm{si}"] = ln(f"layers.{si}.downsample.norm")
+            params[f"merge_reduction{si}"] = {
+                "kernel": linear_w(sd[f"layers.{si}.downsample.reduction.weight"])
+            }
+    # per-stage output norms (d2-style norm0..norm3)
+    for i in range(4):
+        if f"norm{i}.weight" in sd:
+            params[f"out_norm{i}"] = ln(f"norm{i}")
+    return params

@@ -91,10 +91,52 @@ def main():
 
     variables = jax.tree.map(_fill, shapes)
 
-    @jax.jit
-    def clip_forward(images):
-        out = module.apply(variables, images, train=False)
-        return out["pred_logits"], out["pred_masks"], out["pred_mask_embeddings"]
+    if "--split-jit" in argv:
+        # Two compile units (backbone | WC+decoders): a monolithic
+        # ConvNeXt-L graph exceeds what the sandbox's remote-compile
+        # channel tolerates in one program. Runtime cost is one extra
+        # host dispatch per clip; steady-state fps is within noise.
+        from flax import linen as nn
+
+        class IdentityBackbone(nn.Module):
+            @nn.compact
+            def __call__(self, feats, train: bool = False):
+                return feats
+
+        bb_variables = {
+            col: tree["backbone"]
+            for col, tree in variables.items()
+            if "backbone" in tree
+        }
+        head_variables = {
+            col: {k: v for k, v in tree.items() if k != "backbone"}
+            for col, tree in variables.items()
+        }
+        head_module = module.clone(backbone=IdentityBackbone(name="backbone"))
+        bb_module = module.backbone.clone(name=None)
+
+        @jax.jit
+        def backbone_forward(images):
+            return bb_module.apply(bb_variables, images, train=False)
+
+        @jax.jit
+        def heads_forward(feats):
+            out = head_module.apply(head_variables, feats, train=False)
+            return out["pred_logits"], out["pred_masks"], out["pred_mask_embeddings"]
+
+        def clip_forward(images):
+            return heads_forward(backbone_forward(images))
+
+    else:
+
+        @jax.jit
+        def clip_forward(images):
+            out = module.apply(variables, images, train=False)
+            return (
+                out["pred_logits"],
+                out["pred_masks"],
+                out["pred_mask_embeddings"],
+            )
 
     # warmup/compile
     out = clip_forward(images)

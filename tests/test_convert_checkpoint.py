@@ -208,3 +208,60 @@ def test_convnext_scan_matches_unrolled(rng):
         np.testing.assert_allclose(
             np.asarray(o1[k]), np.asarray(o2[k]), atol=1e-5
         )
+
+
+def test_swin_conversion_roundtrip(rng):
+    """Official-layout Swin state dict converts to a tree that matches the
+    module structure and runs. NOTE: the official patch-merging concat order
+    is [x0, x1, x2, x3] = [(0,0),(1,0),(0,1),(1,1)] — ours matches."""
+    from axial_vs_tpu.models.backbones.swin import SwinTransformer
+    from axial_vs_tpu.utils.torch_convert import convert_swin
+
+    depths, dim, heads = (1, 1, 1, 1), 16, (2, 2, 4, 4)
+    r = np.random.RandomState(0)
+    sd = {}
+    sd["patch_embed.proj.weight"] = r.randn(dim, 3, 4, 4).astype(np.float32)
+    sd["patch_embed.proj.bias"] = r.randn(dim).astype(np.float32)
+    sd["patch_embed.norm.weight"] = r.randn(dim).astype(np.float32)
+    sd["patch_embed.norm.bias"] = r.randn(dim).astype(np.float32)
+    d = dim
+    ws = 4
+    for si, dep in enumerate(depths):
+        for bi in range(dep):
+            t = f"layers.{si}.blocks.{bi}"
+            sd[f"{t}.norm1.weight"] = r.randn(d).astype(np.float32)
+            sd[f"{t}.norm1.bias"] = r.randn(d).astype(np.float32)
+            sd[f"{t}.norm2.weight"] = r.randn(d).astype(np.float32)
+            sd[f"{t}.norm2.bias"] = r.randn(d).astype(np.float32)
+            sd[f"{t}.attn.qkv.weight"] = r.randn(3 * d, d).astype(np.float32)
+            sd[f"{t}.attn.qkv.bias"] = r.randn(3 * d).astype(np.float32)
+            sd[f"{t}.attn.proj.weight"] = r.randn(d, d).astype(np.float32)
+            sd[f"{t}.attn.proj.bias"] = r.randn(d).astype(np.float32)
+            sd[f"{t}.attn.relative_position_bias_table"] = r.randn(
+                (2 * ws - 1) ** 2, heads[si]
+            ).astype(np.float32)
+            sd[f"{t}.mlp.fc1.weight"] = r.randn(4 * d, d).astype(np.float32)
+            sd[f"{t}.mlp.fc1.bias"] = r.randn(4 * d).astype(np.float32)
+            sd[f"{t}.mlp.fc2.weight"] = r.randn(d, 4 * d).astype(np.float32)
+            sd[f"{t}.mlp.fc2.bias"] = r.randn(d).astype(np.float32)
+        if si < 3:
+            sd[f"layers.{si}.downsample.norm.weight"] = r.randn(4 * d).astype(np.float32)
+            sd[f"layers.{si}.downsample.norm.bias"] = r.randn(4 * d).astype(np.float32)
+            sd[f"layers.{si}.downsample.reduction.weight"] = r.randn(
+                2 * d, 4 * d
+            ).astype(np.float32)
+            d *= 2
+    for i in range(4):
+        c = dim * (2 ** i)
+        sd[f"norm{i}.weight"] = r.randn(c).astype(np.float32)
+        sd[f"norm{i}.bias"] = r.randn(c).astype(np.float32)
+
+    params = convert_swin(sd, depths=depths)
+    model = SwinTransformer(embed_dim=dim, depths=depths, num_heads=heads,
+                            window_size=ws)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    ref_vs = model.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(ref_vs["params"]) == \
+        jax.tree_util.tree_structure(params)
+    out = model.apply({"params": params}, x)
+    assert np.isfinite(np.asarray(out["res5"])).all()
