@@ -55,3 +55,7 @@ def _register_vipseg_all(root: str):
 
 
 _register_vipseg_all(_ROOT)
+
+from .ov_vipseg import register_ov_vipseg  # noqa: E402
+
+register_ov_vipseg(_ROOT)

@@ -116,3 +116,72 @@ def test_register(synthetic_vipseg):
         register_vipseg_video(name, img_root, pan_root, json_path)
     videos = DatasetCatalog.get(name)
     assert len(videos) == 2
+
+
+def test_ov_vipseg_label_maps_and_filtering():
+    from axial_vs_tpu.data.ov_vipseg import (
+        filter_novel_videos, ov_label_maps, split_thing_categories,
+        _thing_only_videos)
+
+    cats = {
+        1: dict(id=1, name="car", isthing=1),
+        2: dict(id=2, name="cat", isthing=1),
+        3: dict(id=3, name="train", isthing=1),
+        9: dict(id=9, name="sky", isthing=0),
+    }
+    novel = (2,)
+    base, nov = split_thing_categories(cats, novel)
+    assert [c["id"] for c in base] == [1, 3]
+    assert [c["id"] for c in nov] == [2]
+
+    train_map, eval_map = ov_label_maps(cats, novel)
+    # base things contiguous from 0; stuff absent; novel only in eval,
+    # appended AFTER base so base logits line up between train and eval
+    assert train_map == {1: 0, 3: 1}
+    assert eval_map == {1: 0, 3: 1, 2: 2}
+    assert 9 not in eval_map
+
+    videos = [
+        dict(video_id="a", frames=[dict(segments_info=[
+            dict(id=1, category_id=1), dict(id=2, category_id=9)])]),
+        dict(video_id="b", frames=[dict(segments_info=[
+            dict(id=1, category_id=2)])]),
+    ]
+    kept = filter_novel_videos(videos, novel)
+    assert [v["video_id"] for v in kept] == ["a"]
+    thin = _thing_only_videos(kept, cats, train_map)
+    # stuff segment dropped, original untouched
+    assert [s["category_id"] for s in thin[0]["frames"][0]["segments_info"]] == [1]
+    assert len(videos[0]["frames"][0]["segments_info"]) == 2
+
+
+def test_ov_vipseg_register(synthetic_vipseg, tmp_path, monkeypatch):
+    import shutil
+
+    from axial_vs_tpu.data.ov_vipseg import OV_SPLITS, register_ov_vipseg
+    from axial_vs_tpu.data.catalog import MetadataCatalog
+
+    img_root, pan_root, json_path = synthetic_vipseg
+    root = tmp_path / "dsroot"
+    base = root / "VIPSeg"
+    base.mkdir(parents=True)
+    shutil.copytree(img_root, base / "imgs")
+    shutil.copytree(pan_root, base / "panomasks")
+    shutil.copy(json_path, base / "panoVIPSeg_train.json")
+    # make category 3 novel for one split by monkeypatching the split table
+    monkeypatch.setitem(OV_SPLITS, "base33_novel25", (3,))
+    register_ov_vipseg(str(root))
+    name = "ov_vipseg_train_base33_novel25"
+    assert name in DatasetCatalog
+    # every synthetic video contains the (now-novel) thing id 3 -> all skipped
+    assert DatasetCatalog.get(name) == []
+    meta = MetadataCatalog.get(name)
+    assert meta.novel_thing_ids == (3,)
+    assert meta.base_thing_ids == ()
+    # the other split keeps id 3 as base and drops the stuff segment
+    other = "ov_vipseg_train_base46_novel12"
+    vids = DatasetCatalog.get(other)
+    assert len(vids) == 2
+    segs = vids[0]["frames"][0]["segments_info"]
+    assert [s["category_id"] for s in segs] == [3]
+    assert MetadataCatalog.get(other).thing_dataset_id_to_contiguous_id == {3: 0}
