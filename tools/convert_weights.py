@@ -35,7 +35,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--arch", choices=["resnet50", "resnet101", "convnext"],
+    ap.add_argument("--arch", choices=["resnet50", "resnet101", "convnext", "swin"],
                     default=None)
     ap.add_argument("--depths", nargs=4, type=int, default=[3, 3, 27, 3])
     ap.add_argument("--prepare-cc", action="store_true",
@@ -54,6 +54,10 @@ def main():
             out = {"params": {"backbone": params}, "batch_stats": {"backbone": stats}}
         elif args.arch == "convnext":
             params = convert_timm_convnext(sd, depths=tuple(args.depths))
+            out = {"params": {"backbone": params}}
+        elif args.arch == "swin":
+            from axial_vs_tpu.utils.torch_convert import convert_swin
+            params = convert_swin(sd, depths=tuple(args.depths))
             out = {"params": {"backbone": params}}
         else:
             raise SystemExit("--arch required unless --prepare-cc")
