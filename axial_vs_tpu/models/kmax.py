@@ -135,6 +135,15 @@ def build_backbone(cfg, dtype=None):
             dtype=dtype,
             name="backbone",
         )
+    if name.startswith("stdc"):
+        from .backbones.stdc import STDC_LAYERS, STDCNet
+
+        return STDCNet(
+            layers=STDC_LAYERS[name],
+            out_features=out_features,
+            dtype=dtype,
+            name="backbone",
+        )
     raise ValueError(f"unknown backbone {name!r}")
 
 

@@ -262,3 +262,62 @@ def convert_swin(sd: Dict, depths=(2, 2, 6, 2)):
         if f"norm{i}.weight" in sd:
             params[f"out_norm{i}"] = ln(f"norm{i}")
     return params
+
+
+def convert_stdc(sd: Dict, layers=(4, 5, 3)):
+    """STDC state_dict (x2/x4/x8/x16/x32 Sequential naming, as saved after
+    the reference's constructor re-wraps `features`,
+    `mmdet/models/backbones/stdc.py:29-33`) -> (params, batch_stats) for
+    models/backbones/stdc.py."""
+    params, stats = {}, {}
+
+    def put_convx(name, prefix, conv_name="conv", bn_name="bn"):
+        p_bn, s_bn = _bn(sd, f"{prefix}.{bn_name}")
+        params[name] = {
+            "conv": {"kernel": conv_w(sd[f"{prefix}.{conv_name}.weight"])},
+            "bn": p_bn,
+        }
+        stats[name] = {"bn": s_bn}
+
+    # the reference wraps Sequential slices of `features` in another
+    # Sequential, so keys keep the ORIGINAL feature index: xN.0.<orig_idx>
+    put_convx("stem0", "x2.0.0")
+    put_convx("stem1", "x4.0.1")
+    seq_names = ("x8", "x16", "x32")
+    base_idx = 2
+    for i, n_blocks in enumerate(layers):
+        seq = seq_names[i]
+        for j in range(n_blocks):
+            t = f"{seq}.0.{base_idx + j}"
+            blk_p, blk_s = {}, {}
+            idx = 0
+            while f"{t}.conv_list.{idx}.conv.weight" in sd:
+                p_bn, s_bn = _bn(sd, f"{t}.conv_list.{idx}.bn")
+                blk_p[f"conv{idx}"] = {
+                    "conv": {"kernel": conv_w(sd[f"{t}.conv_list.{idx}.conv.weight"])},
+                    "bn": p_bn,
+                }
+                blk_s[f"conv{idx}"] = {"bn": s_bn}
+                idx += 1
+            if f"{t}.avd_layer.0.weight" in sd:
+                p_bn, s_bn = _bn(sd, f"{t}.avd_layer.1")
+                blk_p["avd"] = {
+                    "conv": {"kernel": conv_w(sd[f"{t}.avd_layer.0.weight"])},
+                    "bn": p_bn,
+                }
+                blk_s["avd"] = {"bn": s_bn}
+            if f"{t}.skip.0.weight" in sd:  # AddBottleneck downsample skip
+                p_bn, s_bn = _bn(sd, f"{t}.skip.1")
+                blk_p["skip_dw"] = {
+                    "conv": {"kernel": conv_w(sd[f"{t}.skip.0.weight"])},
+                    "bn": p_bn,
+                }
+                blk_s["skip_dw"] = {"bn": s_bn}
+                blk_p["skip_pw"] = {"kernel": conv_w(sd[f"{t}.skip.2.weight"])}
+                p_bn, s_bn = _bn(sd, f"{t}.skip.3")
+                blk_p["skip_bn"] = p_bn
+                blk_s["skip_bn"] = s_bn
+            params[f"stage{i}_block{j}"] = blk_p
+            stats[f"stage{i}_block{j}"] = blk_s
+        base_idx += n_blocks
+    return params, stats

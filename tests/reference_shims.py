@@ -233,3 +233,34 @@ def load_wc_msdeformattn():
     sys.modules["wc_ref.ops.modules"].MSDeformAttn = mod_mod.MSDeformAttn
     return _load("wc_ref.msdeformattn", f"{wc_root}/msdeformattn.py",
                  package="wc_ref")
+
+
+def load_tube_link_stdc():
+    """Reference STDC backbone module (torch), with an mmdet-builder stub."""
+    pkg = types.ModuleType("refmm")
+    pkg.__path__ = []
+    models = types.ModuleType("refmm.models")
+    models.__path__ = []
+    builder = types.ModuleType("refmm.models.builder")
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            def deco(c):
+                return c
+            return deco
+
+    builder.BACKBONES = _Reg()
+    backbones = types.ModuleType("refmm.models.backbones")
+    backbones.__path__ = []
+    for name, mod in {
+        "refmm": pkg,
+        "refmm.models": models,
+        "refmm.models.builder": builder,
+        "refmm.models.backbones": backbones,
+    }.items():
+        sys.modules[name] = mod
+    return _load(
+        "refmm.models.backbones.stdc",
+        "/root/reference/MaXTron_Tube-Link/mmdet/models/backbones/stdc.py",
+        package="refmm.models.backbones",
+    )

@@ -265,3 +265,42 @@ def test_swin_conversion_roundtrip(rng):
         jax.tree_util.tree_structure(params)
     out = model.apply({"params": params}, x)
     assert np.isfinite(np.asarray(out["res5"])).all()
+
+
+@pytest.mark.parametrize("block_type", ["cat", "add"])
+def test_stdc_parity_vs_reference(rng, block_type):
+    """STDCNet matches the reference torch backbone exactly (eval mode)
+    after weight transplant, for both bottleneck types."""
+    torch = pytest.importorskip("torch")
+    from reference_shims import load_tube_link_stdc
+    from axial_vs_tpu.models.backbones.stdc import STDCNet
+    from axial_vs_tpu.utils.torch_convert import convert_stdc
+
+    ref_mod = load_tube_link_stdc()
+    ref = ref_mod.STDCNet813(
+        base=16, layers=[2, 2, 2], block_num=4, type=block_type,
+        pretrain_model=None, norm_layer=torch.nn.BatchNorm2d,
+    )
+    ref.eval()
+    # make BN stats non-trivial
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+
+    params, stats = convert_stdc(ref.state_dict(), layers=(2, 2, 2))
+    model = STDCNet(base=16, layers=(2, 2, 2), block_num=4,
+                    block_type=block_type)
+
+    x = rng.randn(2, 64, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        f4, f8, f16, f32 = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False
+    )
+    for name, t in (("res2", f4), ("res3", f8), ("res4", f16), ("res5", f32)):
+        np.testing.assert_allclose(
+            np.asarray(out[name]), t.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-4, err_msg=name,
+        )
