@@ -185,3 +185,42 @@ def test_ov_vipseg_register(synthetic_vipseg, tmp_path, monkeypatch):
     segs = vids[0]["frames"][0]["segments_info"]
     assert [s["category_id"] for s in segs] == [3]
     assert MetadataCatalog.get(other).thing_dataset_id_to_contiguous_id == {3: 0}
+
+
+def test_ytvis2coco_flatten():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ytvis2coco", "tools/dataset/ytvis2coco.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    src = dict(
+        categories=[dict(id=1, name="cat")],
+        videos=[dict(id=7, file_names=["v/0.jpg", "v/1.jpg"], height=4, width=6)],
+        annotations=[dict(id=11, video_id=7, category_id=1,
+                          segmentations=[{"size": [4, 6], "counts": "x"}, None],
+                          bboxes=[[0, 0, 2, 2], None], areas=[4, None])],
+    )
+    out = mod.convert(src)
+    assert len(out["images"]) == 2 and out["images"][1]["frame_id"] == 1
+    # None segmentation on frame 1 -> only one flattened annotation
+    assert len(out["annotations"]) == 1
+    a = out["annotations"][0]
+    assert a["image_id"] == out["images"][0]["id"]
+    assert a["instance_id"] == 1 and a["video_id"] == 7
+
+
+def test_kitti_step_prep_layout(tmp_path):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "kitti_step_prep", "tools/dataset/kitti_step_prep.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    src = tmp_path / "panoptic" / "0002"
+    src.mkdir(parents=True)
+    (src / "000000.png").write_bytes(b"x")
+    out = tmp_path / "out"
+    n = mod.collect(2, str(tmp_path / "panoptic"), str(out), "panoptic")
+    assert n == 1
+    assert (out / "000002_000000_panoptic.png").exists()
+    # copy by default: source retained
+    assert (src / "000000.png").exists()
