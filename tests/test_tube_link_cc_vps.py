@@ -96,3 +96,27 @@ def test_tube_link_vps_window_stream(rng):
     seg1 = pipeline.process_window(rng.randn(t, 32, 48, 3).astype(np.float32), 1)
     assert seg0.shape == (t, 8, 12)
     assert seg1.shape == (t, 8, 12)
+
+
+def test_stdc_vps_recipe_builds_and_runs(rng):
+    """The shipped VIPSeg STDC recipe builds a working TubeLinkVPS through
+    the meta-arch registry (reference vipseg_tb_stdcv1_8e.py end-to-end)."""
+    from axial_vs_tpu.config import get_default_config
+    from axial_vs_tpu.models.build import build_model_and_criterion
+
+    cfg = get_default_config()
+    cfg.merge_from_file("configs/vipseg/tube_link_vps_stdc1.yaml")
+    # shrink for test speed
+    cfg.model.num_classes = 6
+    cfg.model.num_things = 3
+    cfg.model.tube_link.num_queries = 8
+    cfg.input.num_clip_frames = 2
+    model, criterion = build_model_and_criterion(cfg, train=False)
+    assert type(model.backbone).__name__ == "STDCNet"
+
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    leaf = next(iter(jax.tree_util.tree_leaves(out)))
+    assert np.isfinite(np.asarray(leaf)).all()
+    assert isinstance(out, dict) and len(out) > 0
