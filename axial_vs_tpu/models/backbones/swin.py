@@ -119,7 +119,9 @@ class SwinBlock(nn.Module):
         y = LayerNorm(features=c, epsilon=1e-5, name="norm1")(x)
         y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         hp, wp = hh + pad_h, ww + pad_w
-        shift = self.shift if min(hp, wp) > ws else 0
+        # the reference shifts even when hp == ws (the region mask handles
+        # the wrap-around), so no min-size clamping here (swin.py:258-263)
+        shift = self.shift
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
             mask = shifted_window_mask(hp, wp, ws, shift)

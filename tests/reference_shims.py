@@ -37,6 +37,9 @@ def _install_stubs():
     timm_layers = types.ModuleType("timm.models.layers")
     timm_layers.DropPath = DropPath
     timm_layers.trunc_normal_tf_ = trunc_normal_tf_
+    timm_layers.trunc_normal_ = lambda t, mean=0.0, std=1.0, a=-2.0, b=2.0: (
+        torch.nn.init.trunc_normal_(t, mean, std, a, b))
+    timm_layers.to_2tuple = lambda v: v if isinstance(v, tuple) else (v, v)
     timm.models = timm_models
     timm_models.layers = timm_layers
     sys.modules["timm"] = timm
@@ -264,3 +267,9 @@ def load_tube_link_stdc():
         "/root/reference/MaXTron_Tube-Link/mmdet/models/backbones/stdc.py",
         package="refmm.models.backbones",
     )
+
+
+def load_kmax_swin():
+    """Reference Swin backbone module (torch, kmax d2 variant)."""
+    _install_stubs()
+    return _load("ref_kmax_swin", f"{_ROOT}/kmax_deeplab/modeling/backbone/swin.py")

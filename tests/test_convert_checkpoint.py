@@ -304,3 +304,40 @@ def test_stdc_parity_vs_reference(rng, block_type):
             np.asarray(out[name]), t.numpy().transpose(0, 2, 3, 1),
             rtol=1e-4, atol=1e-4, err_msg=name,
         )
+
+
+def test_swin_parity_vs_reference(rng):
+    """SwinTransformer matches the reference torch backbone (kmax d2 Swin,
+    `kmax_deeplab/modeling/backbone/swin.py:498-680`) after weight
+    transplant: windowed attention w/ relative bias, shifted masks, patch
+    merging, per-stage output norms."""
+    torch = pytest.importorskip("torch")
+    from reference_shims import load_kmax_swin
+    from axial_vs_tpu.models.backbones.swin import SwinTransformer
+    from axial_vs_tpu.utils.torch_convert import convert_swin
+
+    ref_mod = load_kmax_swin()
+    depths, dim, heads, ws = (2, 2, 2, 2), 16, (2, 2, 4, 4), 4
+    ref = ref_mod.SwinTransformer(
+        pretrain_img_size=32, embed_dim=dim, depths=list(depths),
+        num_heads=list(heads), window_size=ws, drop_path_rate=0.0,
+        ape=False, patch_norm=True, out_indices=(0, 1, 2, 3),
+    )
+    ref.eval()
+
+    params = convert_swin(ref.state_dict(), depths=depths)
+    model = SwinTransformer(embed_dim=dim, depths=depths, num_heads=heads,
+                            window_size=ws, drop_path_rate=0.0)
+
+    # two sizes: window-aligned (no pad) and unaligned (pad path)
+    for hw in (32, 48):
+        x = rng.randn(1, hw, hw, 3).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        out = model.apply({"params": params}, jnp.asarray(x))
+        for k in ("res2", "res3", "res4", "res5"):
+            np.testing.assert_allclose(
+                np.asarray(out[k]),
+                ref_out[k].numpy().transpose(0, 2, 3, 1),
+                rtol=2e-4, atol=2e-4, err_msg=f"{k}@{hw}",
+            )
