@@ -67,6 +67,22 @@ def get_default_config() -> ConfigNode:
                     patch_norm=True,
                 )
             ),
+            # ViTAEv2 with Varied-Size-window Attention (vitaev2_vsa.py:62);
+            # defaults = ViTAEv2-S
+            vitae=ConfigNode(
+                dict(
+                    embed_dims=[64, 64, 64, 64],
+                    token_dims=[64, 128, 256, 512],
+                    nc_depths=[2, 2, 6, 2],
+                    nc_heads=[4, 4, 4, 4],
+                    nc_groups=[1, 32, 64, 64],
+                    rc_heads=[1, 1, 1, 1],
+                    window_size=7,
+                    mlp_ratio=4.0,
+                    wide_pcm=False,
+                    drop_path_rate=0.1,
+                )
+            ),
         )
     )
 

@@ -144,6 +144,25 @@ def build_backbone(cfg, dtype=None):
             dtype=dtype,
             name="backbone",
         )
+    if name.startswith("vitae"):
+        from .backbones.vitae_vsa import ViTAEv2VSA
+
+        v = cfg.model.backbone.vitae
+        return ViTAEv2VSA(
+            embed_dims=tuple(v.embed_dims),
+            token_dims=tuple(v.token_dims),
+            nc_depths=tuple(v.nc_depths),
+            nc_heads=tuple(v.nc_heads),
+            nc_groups=tuple(v.nc_groups),
+            rc_heads=tuple(v.rc_heads),
+            window_size=v.window_size,
+            mlp_ratio=v.mlp_ratio,
+            wide_pcm=bool(v.wide_pcm),
+            drop_path_rate=v.drop_path_rate,
+            out_features=out_features,
+            dtype=dtype,
+            name="backbone",
+        )
     raise ValueError(f"unknown backbone {name!r}")
 
 

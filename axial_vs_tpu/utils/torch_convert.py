@@ -321,3 +321,77 @@ def convert_stdc(sd: Dict, layers=(4, 5, 3)):
             stats[f"stage{i}_block{j}"] = blk_s
         base_idx += n_blocks
     return params, stats
+
+
+def convert_vitae_vsa(sd: Dict, nc_depths=(2, 2, 6, 2)):
+    """ViTAEv2-VSA state_dict (`mmdet/models/backbones/vitaev2_vsa.py`
+    naming: layers.{i}.RC / layers.{i}.NC.{j}) -> (params, batch_stats) for
+    models/backbones/vitae_vsa.py."""
+    params, stats = {}, {}
+
+    def dense(prefix, squeeze_conv=False):
+        w = np.asarray(sd[f"{prefix}.weight"])
+        if squeeze_conv:  # torch 1x1 Conv2d (O, I, 1, 1) -> Dense (I, O)
+            w = w[:, :, 0, 0]
+        out = {"kernel": w.T}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+        return out
+
+    def ln(prefix):
+        return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+    def attn(prefix):
+        return {
+            "sampling_offsets": dense(f"{prefix}.sampling_offsets.2",
+                                      squeeze_conv=True),
+            "sampling_scales": dense(f"{prefix}.sampling_scales.2",
+                                     squeeze_conv=True),
+            "qkv": dense(f"{prefix}.qkv", squeeze_conv=True),
+            "proj": dense(f"{prefix}.proj", squeeze_conv=True),
+            "relative_position_bias_table": np.asarray(
+                sd[f"{prefix}.relative_position_bias_table"]),
+        }
+
+    def pcm(prefix):
+        p, s = {}, {}
+        for i, t_idx in enumerate((0, 3, 6)):
+            p[f"conv{i}"] = {
+                "kernel": conv_w(sd[f"{prefix}.{t_idx}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.{t_idx}.bias"]),
+            }
+        for i, t_idx in enumerate((1, 4)):
+            p[f"bn{i}"], s[f"bn{i}"] = _bn(sd, f"{prefix}.{t_idx}")
+        return p, s
+
+    def mlp(prefix):
+        return {"fc1": dense(f"{prefix}.fc1"), "fc2": dense(f"{prefix}.fc2")}
+
+    for i in range(4):
+        rc = f"layers.{i}.RC"
+        prm_p = {}
+        j = 0
+        while f"{rc}.PRM.convs.{j}.0.weight" in sd:
+            prm_p[f"conv{j}"] = {
+                "kernel": conv_w(sd[f"{rc}.PRM.convs.{j}.0.weight"]),
+                "bias": np.asarray(sd[f"{rc}.PRM.convs.{j}.0.bias"]),
+            }
+            j += 1
+        pcm_p, pcm_s = pcm(f"{rc}.PCM")
+        params[f"stage{i}_rc"] = {
+            "prm": prm_p, "norm1": ln(f"{rc}.norm1"),
+            "norm2": ln(f"{rc}.norm2"), "attn": attn(f"{rc}.attn"),
+            "pcm": pcm_p, "mlp": mlp(f"{rc}.mlp"),
+        }
+        stats[f"stage{i}_rc"] = {"pcm": pcm_s}
+        for j in range(nc_depths[i]):
+            nc = f"layers.{i}.NC.{j}"
+            pcm_p, pcm_s = pcm(f"{nc}.PCM")
+            params[f"stage{i}_nc{j}"] = {
+                "norm1": ln(f"{nc}.norm1"), "norm2": ln(f"{nc}.norm2"),
+                "attn": attn(f"{nc}.attn"), "pcm": pcm_p,
+                "mlp": mlp(f"{nc}.mlp"),
+            }
+            stats[f"stage{i}_nc{j}"] = {"pcm": pcm_s}
+    return params, stats

@@ -273,3 +273,40 @@ def load_kmax_swin():
     """Reference Swin backbone module (torch, kmax d2 variant)."""
     _install_stubs()
     return _load("ref_kmax_swin", f"{_ROOT}/kmax_deeplab/modeling/backbone/swin.py")
+
+
+def load_vitae_vsa():
+    """Reference ViTAEv2-VSA backbone module (torch), with mmdet stubbed."""
+    _install_stubs()
+    base = "/root/reference/MaXTron_Tube-Link/mmdet/models/backbones"
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            def deco(c):
+                return c
+            return deco
+
+    mods = {}
+    for name in ("refvt", "refvt.models", "refvt.models.backbones",
+                 "refvt.models.backbones.vitaev2_vsa_modules",
+                 "mmdet_stub", "mmdet_stub.mmcv_custom", "mmdet_stub.utils"):
+        pkg = types.ModuleType(name)
+        pkg.__path__ = []
+        mods[name] = pkg
+    builder = types.ModuleType("refvt.models.builder")
+    builder.BACKBONES = _Reg()
+    mods["refvt.models.builder"] = builder
+    mods["mmdet_stub.mmcv_custom"].load_checkpoint = lambda *a, **k: None
+    mods["mmdet_stub.utils"].get_root_logger = lambda *a, **k: None
+    # vitaev2_vsa.py imports `mmdet.mmcv_custom` / `mmdet.utils` absolutely
+    mods["mmdet"] = mods["mmdet_stub"]
+    mods["mmdet.mmcv_custom"] = mods["mmdet_stub.mmcv_custom"]
+    mods["mmdet.utils"] = mods["mmdet_stub.utils"]
+    sys.modules.update(mods)
+
+    vm = "refvt.models.backbones.vitaev2_vsa_modules"
+    for sub in ("window", "NormalCell", "token_performer",
+                "token_transformer", "ReductionCell"):
+        _load(f"{vm}.{sub}", f"{base}/vitaev2_vsa_modules/{sub}.py", package=vm)
+    return _load("refvt.models.backbones.vitaev2_vsa", f"{base}/vitaev2_vsa.py",
+                 package="refvt.models.backbones")
