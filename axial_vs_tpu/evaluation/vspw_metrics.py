@@ -75,3 +75,43 @@ def temporal_consistency(preds, flows, num_classes: int,
         warped = warp_by_flow(preds[t], flows[t])
         metric.update(warped, preds[t + 1])
     return metric.miou()
+
+
+def warp_nearest_ref(label_map: np.ndarray, flow: np.ndarray,
+                     fill: int = 0) -> np.ndarray:
+    """Reference-exact nearest warp (`TC_cal.py:13-38` flowwarp).
+
+    The reference normalizes the sampling grid by (size-1) but calls
+    ``grid_sample(mode='nearest', align_corners=False)``, which unnormalizes
+    by size — net effect: src = (x + flow) * size/(size-1) - 0.5, rounded,
+    zeros outside. Replicated verbatim (labels cast to float and back).
+    """
+    h, w = label_map.shape
+    ys, xs = np.mgrid[0:h, 0:w]
+    vx = (xs + flow[..., 0]) * (w / max(w - 1, 1)) - 0.5
+    vy = (ys + flow[..., 1]) * (h / max(h - 1, 1)) - 0.5
+    sx = np.round(vx).astype(np.int64)
+    sy = np.round(vy).astype(np.int64)
+    valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+    out = np.full_like(label_map, fill)
+    out[valid] = label_map[np.clip(sy, 0, h - 1), np.clip(sx, 0, w - 1)][valid]
+    return out
+
+
+def temporal_consistency_ref(preds, flows, num_classes: int) -> float:
+    """Reference-exact TC (`TC_cal.py:84-126`): for each consecutive pair,
+    warp pred_{t+1} back to frame t by the forward flow t->t+1 and
+    accumulate IoU(pred_t, warped) over ALL pairs of ALL videos (call once
+    per video on a shared SemanticIoU via `update_pairs`, or once total).
+
+    preds: (V, H, W) int; flows: (V-1, H, W, 2) forward flow (x, y).
+    """
+    metric = SemanticIoU(num_classes, ignore_label=255)
+    update_tc_pairs(metric, preds, flows)
+    return metric.miou()
+
+
+def update_tc_pairs(metric: SemanticIoU, preds, flows) -> None:
+    for t in range(preds.shape[0] - 1):
+        warped = warp_nearest_ref(preds[t + 1], flows[t])
+        metric.update(preds[t], warped)

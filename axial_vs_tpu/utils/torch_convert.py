@@ -395,3 +395,60 @@ def convert_vitae_vsa(sd: Dict, nc_depths=(2, 2, 6, 2)):
             }
             stats[f"stage{i}_nc{j}"] = {"pcm": pcm_s}
     return params, stats
+
+
+def convert_raft(sd: Dict):
+    """RAFT state_dict (`scripts/test_vspw/RAFT_core/raft.py` naming,
+    e.g. the released raft-sintel checkpoint after stripping the DP
+    'module.' prefix) -> (params, batch_stats) for models/raft.py."""
+    params, stats = {}, {}
+
+    def conv(prefix):
+        out = {"kernel": conv_w(sd[f"{prefix}.weight"])}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+        return out
+
+    def encoder(src, batch_norm):
+        p, s = {}, {}
+        p["conv1"] = conv(f"{src}.conv1")
+        p["conv2"] = conv(f"{src}.conv2")
+        if batch_norm:
+            p["norm1"], s["norm1"] = {}, {}
+            p["norm1"]["bn"], s["norm1"]["bn"] = _bn(sd, f"{src}.norm1")
+        for i in range(1, 4):
+            for j in range(2):
+                t = f"{src}.layer{i}.{j}"
+                name = f"layer{i}_{j}"
+                bp = {"conv1": conv(f"{t}.conv1"), "conv2": conv(f"{t}.conv2")}
+                bs = {}
+                if f"{t}.downsample.0.weight" in sd:
+                    bp["downsample"] = conv(f"{t}.downsample.0")
+                if batch_norm:
+                    for n in ("norm1", "norm2"):
+                        bp[n], bs[n] = {}, {}
+                        bp[n]["bn"], bs[n]["bn"] = _bn(sd, f"{t}.{n}")
+                    if f"{t}.norm3.weight" in sd:
+                        bp["norm3"], bs["norm3"] = {}, {}
+                        bp["norm3"]["bn"], bs["norm3"]["bn"] = _bn(sd, f"{t}.norm3")
+                p[name] = bp
+                if bs:
+                    s[name] = bs
+        return p, s
+
+    params["fnet"], _ = encoder("fnet", batch_norm=False)
+    params["cnet"], stats["cnet"] = encoder("cnet", batch_norm=True)
+
+    ub = "update_block"
+    params["update_block"] = {
+        "encoder": {n: conv(f"{ub}.encoder.{n}")
+                    for n in ("convc1", "convc2", "convf1", "convf2", "conv")},
+        "gru": {n: conv(f"{ub}.gru.{n}")
+                for n in ("convz1", "convr1", "convq1",
+                          "convz2", "convr2", "convq2")},
+        "flow_conv1": conv(f"{ub}.flow_head.conv1"),
+        "flow_conv2": conv(f"{ub}.flow_head.conv2"),
+        "mask_conv1": conv(f"{ub}.mask.0"),
+        "mask_conv2": conv(f"{ub}.mask.2"),
+    }
+    return params, stats

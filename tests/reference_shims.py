@@ -310,3 +310,18 @@ def load_vitae_vsa():
         _load(f"{vm}.{sub}", f"{base}/vitaev2_vsa_modules/{sub}.py", package=vm)
     return _load("refvt.models.backbones.vitaev2_vsa", f"{base}/vitaev2_vsa.py",
                  package="refvt.models.backbones")
+
+
+def load_raft():
+    """Reference vendored RAFT core (torch), from scripts/test_vspw."""
+    base = "/root/reference/MaXTron_Tube-Link/scripts/test_vspw/RAFT_core"
+    for name in ("RAFT_core", "RAFT_core.utils"):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = []
+            sys.modules[name] = pkg
+    _load("RAFT_core.utils.utils", f"{base}/utils/utils.py",
+          package="RAFT_core.utils")
+    for sub in ("corr", "extractor", "update"):
+        _load(f"RAFT_core.{sub}", f"{base}/{sub}.py", package="RAFT_core")
+    return _load("RAFT_core.raft", f"{base}/raft.py", package="RAFT_core")
