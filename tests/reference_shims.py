@@ -325,3 +325,46 @@ def load_raft():
     for sub in ("corr", "extractor", "update"):
         _load(f"RAFT_core.{sub}", f"{base}/{sub}.py", package="RAFT_core")
     return _load("RAFT_core.raft", f"{base}/raft.py", package="RAFT_core")
+
+
+def load_spatial_encoder():
+    """Reference legacy spatial encoder (kmax_deeplab/modeling/
+    spatial_encoder) with the CUDA MSDA extension stubbed to the pytorch
+    fallback, plus the kMaXSpatialEncoder wrapper module."""
+    _install_stubs()
+    cuda_stub = types.ModuleType("MultiScaleDeformableAttention")
+
+    def _raise(*a, **k):
+        raise RuntimeError("CUDA op not available (test stub)")
+
+    cuda_stub.ms_deform_attn_forward = _raise
+    cuda_stub.ms_deform_attn_backward = _raise
+    sys.modules["MultiScaleDeformableAttention"] = cuda_stub
+
+    se_root = f"{_ROOT}/kmax_deeplab/modeling/spatial_encoder"
+    for pkg_name in ("se_ref", "se_ref.ops", "se_ref.ops.functions",
+                     "se_ref.ops.modules"):
+        if pkg_name not in sys.modules:
+            pkg = types.ModuleType(pkg_name)
+            pkg.__path__ = []
+            sys.modules[pkg_name] = pkg
+    _load("se_ref.pos_embeddings", f"{se_root}/pos_embeddings.py", package="se_ref")
+    _load("se_ref.temporal_attention", f"{se_root}/temporal_attention.py",
+          package="se_ref")
+    func_mod = _load(
+        "se_ref.ops.functions.ms_deform_attn_func",
+        f"{se_root}/ops/functions/ms_deform_attn_func.py",
+        package="se_ref.ops.functions",
+    )
+    sys.modules["se_ref.ops.functions"].MSDeformAttnFunction = (
+        func_mod.MSDeformAttnFunction
+    )
+    mod_mod = _load(
+        "se_ref.ops.modules.ms_deform_attn",
+        f"{se_root}/ops/modules/ms_deform_attn.py",
+        package="se_ref.ops.modules",
+    )
+    sys.modules["se_ref.ops.modules"].MSDeformAttn = mod_mod.MSDeformAttn
+    _load("se_ref.msdeformattn", f"{se_root}/msdeformattn.py", package="se_ref")
+    return _load("se_ref.kmax_spatial_encoder",
+                 f"{se_root}/kmax_spatial_encoder.py", package="se_ref")
