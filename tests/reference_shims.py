@@ -368,3 +368,66 @@ def load_spatial_encoder():
     _load("se_ref.msdeformattn", f"{se_root}/msdeformattn.py", package="se_ref")
     return _load("se_ref.kmax_spatial_encoder",
                  f"{se_root}/kmax_spatial_encoder.py", package="se_ref")
+
+
+def load_qdtrack_trackers():
+    """Reference TaoTracker + IDOL_Tracker (torch), with mmcv/cv2/seaborn
+    visualization deps stubbed (only used by the analysis tail)."""
+    import numpy as _np
+
+    def _bbox_overlaps(b1, b2):
+        lt = torch.max(b1[:, None, :2], b2[None, :, :2])
+        rb = torch.min(b1[:, None, 2:4], b2[None, :, 2:4])
+        wh = (rb - lt).clamp(min=0)
+        inter = wh[..., 0] * wh[..., 1]
+        a1 = (b1[:, 2] - b1[:, 0]) * (b1[:, 3] - b1[:, 1])
+        a2 = (b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1])
+        return inter / (a1[:, None] + a2[None, :] - inter).clamp(min=1e-6)
+
+    stubs = {}
+    for name in ("cv2", "seaborn", "mmcv", "mmcv.image", "mmcv.visualization"):
+        mod = types.ModuleType(name)
+        stubs[name] = mod
+    stubs["mmcv"].image = stubs["mmcv.image"]
+    stubs["mmcv"].visualization = stubs["mmcv.visualization"]
+    stubs["mmcv.image"].imread = lambda *a, **k: None
+    stubs["mmcv.image"].imwrite = lambda *a, **k: None
+    stubs["mmcv.visualization"].color_val = lambda *a, **k: (0, 0, 0)
+    stubs["mmcv.visualization"].imshow = lambda *a, **k: None
+    stubs["mmcv"].color_val = lambda *a, **k: (0, 0, 0)
+    mmdet_core = types.ModuleType("mmdet.core")
+    mmdet_core.bbox_overlaps = _bbox_overlaps
+    if "mmdet" not in sys.modules:
+        mmdet_pkg = types.ModuleType("mmdet")
+        mmdet_pkg.__path__ = []
+        stubs["mmdet"] = mmdet_pkg
+    stubs["mmdet.core"] = mmdet_core
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            def deco(c):
+                return c
+            return deco
+
+    for name in ("reftrk", "reftrk.qdtrack", "reftrk.qdtrack.trackers",
+                 "reftrk.qdtrack.track", "tracker", "tracker.qdtrack",
+                 "tracker.qdtrack.track"):
+        pkg = types.ModuleType(name)
+        pkg.__path__ = []
+        stubs[name] = pkg
+    builder = types.ModuleType("reftrk.qdtrack.builder")
+    builder.TRACKERS = _Reg()
+    stubs["reftrk.qdtrack.builder"] = builder
+    sys.modules.update(stubs)
+
+    base = "/root/reference/MaXTron_Tube-Link/tracker/qdtrack"
+    sim = _load("tracker.qdtrack.track.similarity", f"{base}/track/similarity.py",
+                package="tracker.qdtrack.track")
+    sys.modules["reftrk.qdtrack.track.similarity"] = sim
+    tao = _load("reftrk.qdtrack.trackers.tao_tracker",
+                f"{base}/trackers/tao_tracker.py",
+                package="reftrk.qdtrack.trackers")
+    idol = _load("reftrk.qdtrack.trackers.idol_tracker",
+                 f"{base}/trackers/idol_tracker.py",
+                 package="reftrk.qdtrack.trackers")
+    return tao, idol

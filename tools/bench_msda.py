@@ -1,0 +1,239 @@
+"""Microbenchmark for the MSDA core op at VIPSeg scale (one v5e chip).
+
+Times the production path (`ops/msda.py`) against experimental
+formulations of the gather+reduce so layout decisions are measured, not
+guessed. Shapes match the WC module at 769x1345 / T=2 / 8 heads / D=32.
+
+Run: python tools/bench_msda.py [--iters 20] [--variant NAME ...]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from axial_vs_tpu.ops import msda
+
+
+SHAPES = ((97, 169), (49, 85), (25, 43))
+B, M, D, P = 2, 8, 32, 4
+
+
+def build_inputs(rng):
+    s = sum(h * w for h, w in SHAPES)
+    lq = s
+    value = jnp.asarray(rng.randn(B, s, M, D).astype(np.float32), jnp.bfloat16)
+    loc = jnp.asarray(rng.rand(B, lq, M, len(SHAPES), P, 2).astype(np.float32))
+    aw = jax.nn.softmax(
+        jnp.asarray(rng.randn(B, lq, M, len(SHAPES) * P).astype(np.float32))
+    ).reshape(B, lq, M, len(SHAPES), P)
+    return value, loc, aw
+
+
+def variant_prod(value, loc, aw):
+    return msda.ms_deform_attn(value, SHAPES, loc, aw)
+
+
+def _prep(value, loc, aw):
+    """Shared packing/index/weight computation (mirrors ops/msda.py)."""
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    packed_parts = []
+    offset = 0
+    level_start = []
+    for h, w in SHAPES:
+        level_start.append(offset)
+        v_l = jax.lax.dynamic_slice_in_dim(value, offset, h * w, axis=1)
+        offset += h * w
+        packed_parts.append(jnp.concatenate(
+            [v_l, jnp.roll(v_l, -1, axis=1), jnp.roll(v_l, -w, axis=1),
+             jnp.roll(v_l, -(w + 1), axis=1)], axis=-1))
+    flat = jnp.concatenate(packed_parts, axis=1).reshape(b * s * m, 4 * d)
+
+    loc_m = loc.transpose(0, 2, 1, 3, 4, 5).astype(jnp.float32)
+    aw_m = aw.transpose(0, 2, 1, 3, 4).astype(jnp.float32)
+    bm_base = (jnp.arange(b, dtype=jnp.int32)[:, None] * (s * m)
+               + jnp.arange(m, dtype=jnp.int32)[None, :])
+    idx_parts, wgt_parts = [], []
+    for lvl, (h, w) in enumerate(SHAPES):
+        l = loc_m[:, :, :, lvl]
+        a = aw_m[:, :, :, lvl]
+        ix = l[..., 0] * w - 0.5
+        iy = l[..., 1] * h - 0.5
+        x0 = jnp.floor(ix)
+        y0 = jnp.floor(iy)
+        tx = ix - x0
+        ty = iy - y0
+
+        def slot_weights(c0, t, size):
+            w0 = (1.0 - t) * ((c0 >= 0) & (c0 <= size - 1))
+            w1 = t * ((c0 + 1 >= 0) & (c0 + 1 <= size - 1))
+            shifted = c0 == -1
+            return jnp.where(shifted, w1, w0), jnp.where(shifted, 0.0, w1)
+
+        wx0, wx1 = slot_weights(x0, tx, w)
+        wy0, wy1 = slot_weights(y0, ty, h)
+        slot_w = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
+                           axis=-1) * a[..., None]
+        wgt_parts.append(slot_w.astype(value.dtype))
+        xi = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+        idx_parts.append(
+            (level_start[lvl] + yi * w + xi) * m + bm_base[:, :, None, None])
+    idx = jnp.concatenate(idx_parts, axis=3)
+    wgt = jnp.concatenate(wgt_parts, axis=3)
+    return flat, idx, wgt
+
+
+def variant_sample_loop(value, loc, aw):
+    """One gather per sample, fused multiply-accumulate — the (rows, S, 4D)
+    intermediate never materializes if XLA fuses the 12 gathers into the
+    accumulation fusion."""
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    flat, idx, wgt = _prep(value, loc, aw)
+    rows = b * m * lq
+    n_samples = idx.shape[-1]
+    idx = idx.reshape(rows, n_samples)
+    wgt = wgt.reshape(rows, n_samples, 4)
+
+    acc = jnp.zeros((rows, 4 * d), jnp.bfloat16)
+    for si in range(n_samples):
+        g = flat.at[idx[:, si]].get(mode="promise_in_bounds")
+        w128 = jnp.repeat(wgt[:, si], d, axis=-1)
+        acc = acc + g * w128
+    out = (acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+           + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
+    out = out.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
+
+
+def variant_pallas(value, loc, aw):
+    os.environ["AXIALVS_MSDA_PALLAS"] = "1"
+    try:
+        return msda.ms_deform_attn(value, SHAPES, loc, aw)
+    finally:
+        os.environ["AXIALVS_MSDA_PALLAS"] = "0"
+
+
+VARIANTS = {
+    "prod": variant_prod,
+    "sample_loop": variant_sample_loop,
+    "pallas": variant_pallas,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--variant", action="append", default=None)
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    rng = np.random.RandomState(0)
+    value, loc, aw = build_inputs(rng)
+    names = args.variant or list(VARIANTS)
+
+    ref = None
+    for name in names:
+        fn = jax.jit(VARIANTS[name])
+        out = jax.block_until_ready(fn(value, loc, aw))
+        if ref is None:
+            ref = np.asarray(out, np.float32)
+        else:
+            err = np.max(np.abs(np.asarray(out, np.float32) - ref))
+            print(f"{name}: max |diff| vs prod = {err:.4f}")
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(value, loc, aw)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters * 1e3
+        print(f"{name}: {dt:.2f} ms/layer")
+
+
+
+
+def variant_sample_loop_fold(value, loc, aw):
+    """Like sample_loop but folds the 4 corners per sample (32-wide acc)."""
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    flat, idx, wgt = _prep(value, loc, aw)
+    rows = b * m * lq
+    n_samples = idx.shape[-1]
+    idx = idx.reshape(rows, n_samples)
+    wgt = wgt.reshape(rows, n_samples, 4)
+
+    acc = jnp.zeros((rows, d), jnp.float32)
+    for si in range(n_samples):
+        g = flat.at[idx[:, si]].get(mode="promise_in_bounds")
+        w128 = jnp.repeat(wgt[:, si], d, axis=-1)
+        gw = (g * w128).astype(jnp.float32)
+        acc = acc + (gw[:, 0 * d:1 * d] + gw[:, 1 * d:2 * d]
+                     + gw[:, 2 * d:3 * d] + gw[:, 3 * d:4 * d])
+    out = acc.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
+
+
+def variant_sample_loop_f32(value, loc, aw):
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    flat, idx, wgt = _prep(value, loc, aw)
+    rows = b * m * lq
+    n_samples = idx.shape[-1]
+    idx = idx.reshape(rows, n_samples)
+    wgt = wgt.reshape(rows, n_samples, 4)
+
+    acc = jnp.zeros((rows, 4 * d), jnp.float32)
+    for si in range(n_samples):
+        g = flat.at[idx[:, si]].get(mode="promise_in_bounds")
+        w128 = jnp.repeat(wgt[:, si], d, axis=-1)
+        acc = acc + (g * w128).astype(jnp.float32)
+    out = (acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+           + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
+    out = out.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
+
+
+VARIANTS["sample_loop_fold"] = variant_sample_loop_fold
+VARIANTS["sample_loop_f32"] = variant_sample_loop_f32
+
+
+
+
+def _chunked(value, loc, aw, chunk):
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    flat, idx, wgt = _prep(value, loc, aw)
+    rows = b * m * lq
+    n_samples = idx.shape[-1]
+    idx = idx.reshape(rows, n_samples)
+    wgt = wgt.reshape(rows, n_samples, 4)
+
+    acc = jnp.zeros((rows, 4 * d), value.dtype)
+    for c0 in range(0, n_samples, chunk):
+        g = flat.at[idx[:, c0:c0 + chunk].reshape(-1)].get(
+            mode="promise_in_bounds").reshape(rows, chunk, 4 * d)
+        w128 = jnp.repeat(wgt[:, c0:c0 + chunk], d, axis=-1)
+        acc = acc + jnp.sum(g * w128, axis=1)
+    out = (acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+           + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
+    out = out.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
+
+
+for _c in (2, 3, 4, 6):
+    VARIANTS[f"chunk{_c}"] = (lambda c: lambda v, l, a: _chunked(v, l, a, c))(_c)
+
+
+if __name__ == "__main__":
+    main()
