@@ -431,3 +431,110 @@ def load_qdtrack_trackers():
                  f"{base}/trackers/idol_tracker.py",
                  package="reftrk.qdtrack.trackers")
     return tao, idol
+
+
+def load_unitrack():
+    """Reference unitrack stack (torch) with lap / cython_bbox / cv2 /
+    appearance-model deps stubbed. Returns (basetrack, matching,
+    multitracker, kalman) modules."""
+    import numpy as _np
+    from scipy.optimize import linear_sum_assignment as _lsa
+
+    def _lapjv(cost, extend_cost=True, cost_limit=_np.inf, return_cost=True):
+        m, n = cost.shape
+        big = cost_limit / 2.0 if _np.isfinite(cost_limit) else 1e9
+        aug = _np.zeros((m + n, n + m))
+        aug[:m, :n] = cost
+        aug[:m, n:] = 1e18
+        aug[m:, :n] = 1e18
+        _np.fill_diagonal(aug[:m, n:], big)
+        _np.fill_diagonal(aug[m:, :n], big)
+        rows, cols = _lsa(aug)
+        x = _np.full(m, -1, _np.int64)
+        y = _np.full(n, -1, _np.int64)
+        total = 0.0
+        for r, c in zip(rows, cols):
+            if r < m and c < n:
+                x[r] = c
+                y[c] = r
+                total += cost[r, c]
+        return total, x, y
+
+    def _bbox_ious(a, b):
+        iw = (_np.minimum(a[:, None, 2], b[None, :, 2])
+              - _np.maximum(a[:, None, 0], b[None, :, 0]) + 1)
+        ih = (_np.minimum(a[:, None, 3], b[None, :, 3])
+              - _np.maximum(a[:, None, 1], b[None, :, 1]) + 1)
+        inter = _np.clip(iw, 0, None) * _np.clip(ih, 0, None)
+        inter[(iw <= 0) | (ih <= 0)] = 0.0
+        area_a = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
+        area_b = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+        return inter / (area_a[:, None] + area_b[None, :] - inter)
+
+    # the reference predates numpy 2.x (np.float alias removed)
+    if not hasattr(_np, "float"):
+        _np.float = float
+
+    lap_stub = types.ModuleType("lap")
+    lap_stub.lapjv = _lapjv
+    cb_stub = types.ModuleType("cython_bbox")
+    cb_stub.bbox_overlaps = _bbox_ious
+    tv_stub = types.ModuleType("torchvision")
+    tv_ops = types.ModuleType("torchvision.ops")
+    tv_ops.roi_align = lambda *a, **k: None
+    tv_stub.ops = tv_ops
+    stubs = {"lap": lap_stub, "cython_bbox": cb_stub,
+             "torchvision": tv_stub, "torchvision.ops": tv_ops}
+    if "cv2" not in sys.modules:
+        stubs["cv2"] = types.ModuleType("cv2")
+
+    for name in ("tracker", "tracker.unitrack", "tracker.unitrack.core",
+                 "tracker.unitrack.core.motion",
+                 "tracker.unitrack.core.association",
+                 "tracker.unitrack.core.propagation",
+                 "tracker.unitrack.utils", "tracker.unitrack.model"):
+        if name not in sys.modules and name not in stubs:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = []
+            stubs[name] = pkg
+    sys.modules.update(stubs)
+
+    base = "/root/reference/MaXTron_Tube-Link/tracker/unitrack"
+    kalman = _load("tracker.unitrack.core.motion.kalman_filter",
+                   f"{base}/core/motion/kalman_filter.py",
+                   package="tracker.unitrack.core.motion")
+    sys.modules["tracker.unitrack.core.motion"].kalman_filter = kalman
+    box_utils = _load("tracker.unitrack.utils.box", f"{base}/utils/box.py",
+                      package="tracker.unitrack.utils")
+    mask_utils = types.ModuleType("tracker.unitrack.utils.mask")
+    sys.modules["tracker.unitrack.utils.mask"] = mask_utils
+    log_stub = types.ModuleType("tracker.unitrack.utils.log")
+    import logging
+    log_stub.logger = logging.getLogger("unitrack-test")
+    sys.modules["tracker.unitrack.utils.log"] = log_stub
+    class _AppModel:
+        def __init__(self, opt):
+            pass
+
+        def to(self, device):
+            return self
+
+        def eval(self):
+            return self
+
+    sys.modules["tracker.unitrack.model"].AppearanceModel = _AppModel
+    sys.modules["tracker.unitrack.model"].partial_load = lambda *a, **k: None
+    prop = sys.modules["tracker.unitrack.core.propagation"]
+    prop.propagate = lambda *a, **k: None
+    sys.modules["tracker.unitrack.core"].association = sys.modules[
+        "tracker.unitrack.core.association"]
+    matching = _load("tracker.unitrack.core.association.matching",
+                     f"{base}/core/association/matching.py",
+                     package="tracker.unitrack.core.association")
+    sys.modules["tracker.unitrack.core.association"].matching = matching
+    basetrack = _load("tracker.unitrack.basetrack", f"{base}/basetrack.py",
+                      package="tracker.unitrack")
+    sys.modules["tracker.unitrack"].basetrack = basetrack
+    multitracker = _load("tracker.unitrack.multitracker",
+                         f"{base}/multitracker.py", package="tracker.unitrack")
+    return basetrack, matching, multitracker, kalman
