@@ -139,7 +139,7 @@ def ms_deform_attn(
             mode="promise_in_bounds"
         ).reshape(rows, n_samples, 4 * d)
         w = wgt.reshape(rows, n_samples, 4)
-        block = 128
+        block = int(os.environ.get("AXIALVS_MSDA_PALLAS_BLOCK", "128"))
         pad = (-rows) % block
         if pad:
             g = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))

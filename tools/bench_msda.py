@@ -235,5 +235,79 @@ for _c in (2, 3, 4, 6):
     VARIANTS[f"chunk{_c}"] = (lambda c: lambda v, l, a: _chunked(v, l, a, c))(_c)
 
 
+
+
+def variant_headmajor(value, loc, aw):
+    """Head-major packed table: rows ordered (m, b, s) so consecutive
+    queries of one head gather ADJACENT table rows (DRAM locality)."""
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    v = value.transpose(2, 0, 1, 3)  # (M, B, S, D)
+    packed_parts = []
+    offset = 0
+    level_start = []
+    for h, w in SHAPES:
+        level_start.append(offset)
+        v_l = jax.lax.dynamic_slice_in_dim(v, offset, h * w, axis=2)
+        offset += h * w
+        packed_parts.append(jnp.concatenate(
+            [v_l, jnp.roll(v_l, -1, axis=2), jnp.roll(v_l, -w, axis=2),
+             jnp.roll(v_l, -(w + 1), axis=2)], axis=-1))
+    flat = jnp.concatenate(packed_parts, axis=2).reshape(m * b * s, 4 * d)
+
+    loc_m = loc.transpose(0, 2, 1, 3, 4, 5).astype(jnp.float32)
+    aw_m = aw.transpose(0, 2, 1, 3, 4).astype(jnp.float32)
+    # row id = (m*B + b)*S + s
+    mb_base = (
+        jnp.arange(m, dtype=jnp.int32)[None, :] * b
+        + jnp.arange(b, dtype=jnp.int32)[:, None]
+    ) * s  # (B, M)
+    idx_parts, wgt_parts = [], []
+    for lvl, (h, w) in enumerate(SHAPES):
+        l = loc_m[:, :, :, lvl]
+        a = aw_m[:, :, :, lvl]
+        ix = l[..., 0] * w - 0.5
+        iy = l[..., 1] * h - 0.5
+        x0 = jnp.floor(ix)
+        y0 = jnp.floor(iy)
+        tx = ix - x0
+        ty = iy - y0
+
+        def slot_weights(c0, t, size):
+            w0 = (1.0 - t) * ((c0 >= 0) & (c0 <= size - 1))
+            w1 = t * ((c0 + 1 >= 0) & (c0 + 1 <= size - 1))
+            shifted = c0 == -1
+            return jnp.where(shifted, w1, w0), jnp.where(shifted, 0.0, w1)
+
+        wx0, wx1 = slot_weights(x0, tx, w)
+        wy0, wy1 = slot_weights(y0, ty, h)
+        slot_w = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
+                           axis=-1) * a[..., None]
+        wgt_parts.append(slot_w.astype(value.dtype))
+        xi = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+        idx_parts.append(
+            level_start[lvl] + yi * w + xi + mb_base[:, :, None, None])
+    idx = jnp.concatenate(idx_parts, axis=3)
+    wgt = jnp.concatenate(wgt_parts, axis=3)
+
+    rows = b * m * lq
+    n_samples = idx.shape[-1]
+    idx_s = idx.reshape(rows, n_samples)
+    wgt_s = wgt.reshape(rows, n_samples, 4)
+    acc = jnp.zeros((rows, 4 * d), value.dtype)
+    for si in range(n_samples):
+        g = flat.at[idx_s[:, si]].get(mode="promise_in_bounds")
+        w128 = jnp.repeat(wgt_s[:, si], d, axis=-1)
+        acc = acc + g * w128
+    out = (acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+           + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
+    out = out.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
+
+
+VARIANTS["headmajor"] = variant_headmajor
+
+
 if __name__ == "__main__":
     main()
