@@ -34,27 +34,43 @@ class SemanticIoU:
         self.cm += binc.reshape(self.num_classes, self.num_classes)
 
     def miou(self) -> float:
-        tp = self.cm.diagonal()
+        """Reference-exact (`scripts/test_vspw/utils.py:74-80`): classes are
+        averaged only when they OCCUR IN GT (row sum > 0); a class that is
+        only ever predicted does not enter the mean."""
+        tp = self.cm.diagonal().astype(np.float64)
         union = self.cm.sum(0) + self.cm.sum(1) - tp
-        valid = union > 0
-        return float(np.mean(tp[valid] / union[valid])) if valid.any() else 0.0
+        isval = self.cm.sum(1) > 0
+        if not isval.any():
+            return 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iou = tp / union
+        return float(np.nansum(iou * isval) / isval.sum())
 
 
-def video_consistency(gts, preds, window: int = 8, ignore_label: int = 255):
-    """gts/preds: (V, H, W) int maps. Returns VC_window for one video."""
+def video_consistency(gts, preds, window: int = 8):
+    """Reference-exact VC (`scripts/test_vspw/VC_perclip.py:get_common`):
+    per sliding window (videos with <= window frames are skipped; the last
+    start index is len-window-1 as in the reference), the fraction of the
+    GT-static area on which the predictions are ALSO self-consistent
+    (prediction-vs-prediction, not prediction-vs-GT). Returns the list of
+    per-window accuracies (may contain nan when the GT-static area is
+    empty); aggregate with np.nanmean across all videos.
+
+    gts/preds: (V, H, W) int maps.
+    """
     v = gts.shape[0]
-    if v < window:
+    if v <= window:
         return None
-    scores = []
-    for s in range(0, v - window + 1):
+    accs = []
+    for s in range(0, v - window):
         g = gts[s : s + window]
         p = preds[s : s + window]
-        common_gt = np.all(g == g[0], axis=0) & (g[0] != ignore_label)
-        if common_gt.sum() == 0:
-            continue
-        consistent = np.all(p == g[0], axis=0) & common_gt
-        scores.append(consistent.sum() / common_gt.sum())
-    return float(np.mean(scores)) if scores else None
+        gt_common = np.all(g == g[0], axis=0)
+        pred_common = np.all(p == p[0], axis=0)
+        denom = gt_common.sum()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            accs.append((pred_common & gt_common).sum() / denom)
+    return accs
 
 
 def warp_by_flow(label_map: np.ndarray, flow: np.ndarray) -> np.ndarray:
