@@ -59,6 +59,29 @@ def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
     return init
 
 
+class _HeadMajorDense(nn.Module):
+    """Dense layer applied to head-major (B, M, Lq, D) input, contracting
+    over (m, d) against a standard (M*D, out) kernel — same parameters and
+    math as ``nn.Dense`` on (B, Lq, M*D), without materializing that retile.
+    """
+
+    features: int
+    fan_in: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, m, lq, d = x.shape
+        kernel = self.param("kernel", xavier_uniform(),
+                            (m * d, self.features), jnp.float32)
+        bias = self.param("bias", torch_linear_bias_init(self.fan_in),
+                          (self.features,), jnp.float32)
+        dt = self.dtype or x.dtype
+        y = jnp.einsum("bmqd,mdo->bqo", x.astype(dt),
+                       kernel.reshape(m, d, self.features).astype(dt))
+        return y + bias.astype(dt)
+
+
 class MSDeformAttn(nn.Module):
     d_model: int = 256
     n_levels: int = 3
@@ -107,8 +130,12 @@ class MSDeformAttn(nn.Module):
             + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
         )
 
-        out = ms_deform_attn(value, spatial_shapes, locations, weights)
-        return _dense(self.d_model, self.d_model, "output_proj", self.dtype)(out)
+        # head-major output + per-head projection slices: folds the
+        # (B, M, Lq, D) -> (B, Lq, M*D) retile into the output matmul
+        out = ms_deform_attn(value, spatial_shapes, locations, weights,
+                             head_major_out=True)
+        return _HeadMajorDense(self.d_model, self.d_model, dtype=self.dtype,
+                               name="output_proj")(out)
 
 
 class MSDeformAttnEncoderLayer(nn.Module):

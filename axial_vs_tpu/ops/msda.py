@@ -31,13 +31,17 @@ def ms_deform_attn(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    head_major_out: bool = False,
 ) -> jnp.ndarray:
     """Args:
       value: (B, S, M, D) — levels flattened along S (sum of H*W, row-major).
       spatial_shapes: static ((H_0, W_0), ...) per level.
       sampling_locations: (B, Lq, M, L, P, 2) normalized (x, y) in [0, 1].
       attention_weights: (B, Lq, M, L, P), already softmaxed over L*P.
-    Returns: (B, Lq, M * D).
+    Returns: (B, Lq, M * D), or (B, M, Lq, D) when ``head_major_out`` — the
+    head-major form skips a minor-dim-32 retile (~1.9 ms/layer at VIPSeg
+    scale); callers can fold the head transpose into their output projection
+    (einsum over (m, d) — see layers/msda_attention.py).
     """
     b, s, m, d = value.shape
     _, lq, _, num_levels, p, _ = sampling_locations.shape
@@ -165,5 +169,8 @@ def ms_deform_attn(
             + acc[:, 3 * d : 4 * d]
         )
 
-    out = out.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    out = out.reshape(b, m, lq, d)
+    if head_major_out:
+        return out.astype(value.dtype)
+    out = out.transpose(0, 2, 1, 3)
     return out.reshape(b, lq, m * d).astype(value.dtype)

@@ -148,10 +148,13 @@ def main():
     for name in names:
         fn = jax.jit(VARIANTS[name])
         out = jax.block_until_ready(fn(value, loc, aw))
+        got = np.asarray(out, np.float32)
+        if got.ndim == 4:  # head-major variants
+            got = got.transpose(0, 2, 1, 3).reshape(got.shape[0], got.shape[2], -1)
         if ref is None:
-            ref = np.asarray(out, np.float32)
+            ref = got
         else:
-            err = np.max(np.abs(np.asarray(out, np.float32) - ref))
+            err = np.max(np.abs(got - ref))
             print(f"{name}: max |diff| vs prod = {err:.4f}")
         t0 = time.perf_counter()
         for _ in range(args.iters):
@@ -307,6 +310,31 @@ def variant_headmajor(value, loc, aw):
 
 
 VARIANTS["headmajor"] = variant_headmajor
+
+
+
+
+def variant_no_final_transpose(value, loc, aw):
+    """sample_loop but emitting head-major (b, m, lq, d) — measures the cost
+    of the (rows, d) -> (b, lq, m*d) retile in the production path."""
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    flat, idx, wgt = _prep(value, loc, aw)
+    rows = b * m * lq
+    n_samples = idx.shape[-1]
+    idx = idx.reshape(rows, n_samples)
+    wgt = wgt.reshape(rows, n_samples, 4)
+    acc = jnp.zeros((rows, 4 * d), value.dtype)
+    for si in range(n_samples):
+        g = flat.at[idx[:, si]].get(mode="promise_in_bounds")
+        w128 = jnp.repeat(wgt[:, si], d, axis=-1)
+        acc = acc + g * w128
+    out = (acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+           + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
+    return out.reshape(b, m, lq, d)
+
+
+VARIANTS["no_final_transpose"] = variant_no_final_transpose
 
 
 if __name__ == "__main__":
