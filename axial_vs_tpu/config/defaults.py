@@ -222,6 +222,12 @@ def get_default_config() -> ConfigNode:
             warmup_iters=1500,
             poly_power=0.9,
             clip_gradients=ConfigNode(dict(enabled=True, clip_value=0.01)),
+            # ConvNeXt layer-wise LR decay
+            # (mmdet LearningRateDecayOptimizerConstructor, T16)
+            layer_decay=ConfigNode(dict(
+                enabled=False, decay_rate=0.9, num_layers=12,
+                decay_type="layer_wise",
+            )),
             ims_per_batch=8,
             checkpoint_period=10000,
         )

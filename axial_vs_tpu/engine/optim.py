@@ -23,12 +23,17 @@ def param_rules(cfg):
     wd_embed = sol.weight_decay_embed
     wd_norm = 0.0
 
+    ld = sol.get("layer_decay", None)
+
     def rule(path: str):
         p = path.lower()
         lr_mult = 1.0
         wd = base_wd
         if "backbone" in p:
             lr_mult *= sol.backbone_multiplier
+        if ld is not None and ld.enabled:
+            lr_mult *= layer_decay_scale(
+                p, ld.decay_rate, ld.num_layers, ld.decay_type)
         if "spatial_layer" in p or "level_embed_2d" in p:
             lr_mult *= sol.spatial_multiplier
         if "temporal_encoder" in p or "level_embed_3d" in p or "temporal_layers" in p:
@@ -109,3 +114,57 @@ def build_optimizer(cfg, params, lr_schedule: Callable):
         )
     )
     return optax.chain(*chain)
+
+
+def convnext_layer_id(path: str, num_layers: int) -> int:
+    """Layer id for ConvNeXt layer-wise LR decay, matching the reference's
+    `mmdet/core/optimizers/layer_decay_optimizer_constructor.py:10-50`
+    (get_layer_id_for_convnext) against this framework's param naming
+    (backbone/downsample{i}_*, backbone/stage{i}_block{j}/...).
+
+    ``num_layers`` is the paramwise num_layers (12 for depths (3,3,27,3));
+    ids run 0..num_layers+1 and scale = decay_rate^(num_layers+2-id-1).
+    """
+    p = path.lower()
+    if "backbone/" not in p:
+        return num_layers + 1
+    tail = p.split("backbone/")[1]
+    if tail.startswith("downsample"):
+        stage = int(tail[len("downsample")])
+        return {0: 0, 1: 2, 2: 3, 3: num_layers}[stage]
+    if tail.startswith("stage"):
+        stage = int(tail[len("stage")])
+        if stage == 0:
+            return 1
+        if stage == 1:
+            return 2
+        if stage == 2:
+            block = int(tail.split("_block")[1].split("/")[0])
+            return 3 + block // 3
+        return num_layers
+    return num_layers + 1
+
+
+def convnext_stage_id(path: str, num_layers: int) -> int:
+    """Stage id for 'stage_wise' decay (`...:53-77`)."""
+    p = path.lower()
+    if "backbone/" not in p:
+        return num_layers - 1
+    tail = p.split("backbone/")[1]
+    if tail.startswith("downsample"):
+        return 0
+    if tail.startswith("stage"):
+        return int(tail[len("stage")]) + 1
+    return num_layers - 1
+
+
+def layer_decay_scale(path: str, decay_rate: float, num_layers: int,
+                      decay_type: str = "layer_wise") -> float:
+    """LR scale decay_rate^(N - layer_id - 1) with N = num_layers + 2
+    (`layer_decay_optimizer_constructor.py:98,131`)."""
+    n = num_layers + 2
+    if decay_type == "stage_wise":
+        layer_id = convnext_stage_id(path, n)
+    else:
+        layer_id = convnext_layer_id(path, num_layers)
+    return decay_rate ** (n - layer_id - 1)

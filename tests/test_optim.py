@@ -68,3 +68,53 @@ def test_lr_schedules():
     s = step_lr(1.0, milestones=[50, 80], gamma=0.1, warmup_iters=5)
     assert abs(float(s(60)) - 0.1) < 1e-7
     assert abs(float(s(90)) - 0.01) < 1e-7
+
+
+def test_convnext_layer_decay_matches_reference():
+    """Layer-id mapping + scales vs the reference constructor's functions
+    (`mmdet/core/optimizers/layer_decay_optimizer_constructor.py`)."""
+    import importlib.util, sys, types
+
+    reg = type(
+        "R", (), {"register_module": staticmethod(lambda *a, **k: (lambda c: c))})()
+    for name in ("mmcv", "mmcv.runner", "mmdet", "mmdet.utils",
+                 "ref_opt_pkg", "ref_opt_pkg.builder"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = []
+            sys.modules[name] = mod
+    sys.modules["mmcv.runner"].get_dist_info = lambda: (0, 1)
+    sys.modules["mmcv.runner"].DefaultOptimizerConstructor = object
+    sys.modules["mmdet.utils"].get_root_logger = lambda *a, **k: None
+    sys.modules["ref_opt_pkg.builder"].OPTIMIZER_BUILDERS = reg
+    spec = importlib.util.spec_from_file_location(
+        "ref_opt_pkg.layer_decay_optimizer_constructor",
+        "/root/reference/MaXTron_Tube-Link/mmdet/core/optimizers/"
+        "layer_decay_optimizer_constructor.py")
+    ref = importlib.util.module_from_spec(spec)
+    ref.__package__ = "ref_opt_pkg"
+    sys.modules[spec.name] = ref
+    spec.loader.exec_module(ref)
+
+    from axial_vs_tpu.engine.optim import convnext_layer_id, convnext_stage_id
+
+    cases = [
+        ("backbone.downsample_layers.0.0.weight", "backbone/downsample0_conv/kernel"),
+        ("backbone.downsample_layers.1.1.weight", "backbone/downsample1_conv/kernel"),
+        ("backbone.downsample_layers.2.1.weight", "backbone/downsample2_conv/kernel"),
+        ("backbone.downsample_layers.3.1.weight", "backbone/downsample3_conv/kernel"),
+        ("backbone.stages.0.1.gamma", "backbone/stage0_block1/gamma"),
+        ("backbone.stages.1.2.dwconv.weight", "backbone/stage1_block2/dwconv/kernel"),
+        ("backbone.stages.2.0.gamma", "backbone/stage2_block0/gamma"),
+        ("backbone.stages.2.8.gamma", "backbone/stage2_block8/gamma"),
+        ("backbone.stages.2.26.gamma", "backbone/stage2_block26/gamma"),
+        ("backbone.stages.3.1.gamma", "backbone/stage3_block1/gamma"),
+        ("sem_seg_head.predictor.w", "transformer_decoder/predictor/kernel"),
+    ]
+    for torch_name, flax_path in cases:
+        want = ref.get_layer_id_for_convnext(torch_name, 12)
+        got = convnext_layer_id(flax_path, 12)
+        assert got == want, (flax_path, got, want)
+        want_s = ref.get_stage_id_for_convnext(torch_name, 14)
+        got_s = convnext_stage_id(flax_path, 14)
+        assert got_s == want_s, (flax_path, got_s, want_s)
