@@ -6,6 +6,8 @@ framework's pickled param trees.
   python tools/convert_weights.py --src convnext_large_22k.pth --arch convnext \
       --depths 3 3 27 3 --out cnl.pkl
   python tools/convert_weights.py --src wc_model.pkl --prepare-cc --out cc_init.pkl
+  python tools/convert_weights.py --src vitaev2_s.pth --arch vitae --depths 2 2 6 2 --out vitae.pkl
+  python tools/convert_weights.py --src raft-things.pth --arch raft --out raft.pkl
 """
 import argparse
 import os
@@ -35,7 +37,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--arch", choices=["resnet50", "resnet101", "convnext", "swin"],
+    ap.add_argument("--arch", choices=["resnet50", "resnet101", "convnext",
+                                       "swin", "stdc", "vitae", "raft"],
                     default=None)
     ap.add_argument("--depths", nargs=4, type=int, default=[3, 3, 27, 3])
     ap.add_argument("--prepare-cc", action="store_true",
@@ -59,6 +62,20 @@ def main():
             from axial_vs_tpu.utils.torch_convert import convert_swin
             params = convert_swin(sd, depths=tuple(args.depths))
             out = {"params": {"backbone": params}}
+        elif args.arch == "stdc":
+            from axial_vs_tpu.utils.torch_convert import convert_stdc
+            params, stats = convert_stdc(sd)
+            out = {"params": {"backbone": params}, "batch_stats": {"backbone": stats}}
+        elif args.arch == "vitae":
+            from axial_vs_tpu.utils.torch_convert import convert_vitae_vsa
+            params, stats = convert_vitae_vsa(sd, nc_depths=tuple(args.depths))
+            out = {"params": {"backbone": params}, "batch_stats": {"backbone": stats}}
+        elif args.arch == "raft":
+            from axial_vs_tpu.utils.torch_convert import convert_raft
+            sd = {(k[7:] if k.startswith("module.") else k): v
+                  for k, v in sd.items()}
+            params, stats = convert_raft(sd)
+            out = {"params": params, "batch_stats": stats}
         else:
             raise SystemExit("--arch required unless --prepare-cc")
 
