@@ -16,8 +16,6 @@ appearance network is vendored. Pass per-detection feature vectors or
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 
 from ..evaluation.vipseg_evaluator import lap_with_cost_limit

@@ -127,6 +127,22 @@ def main():
         def clip_forward(images):
             return heads_forward(backbone_forward(images))
 
+        if "--compile-only" in argv:
+            # diagnose which unit the remote-compile channel rejects
+            unit = argv[argv.index("--compile-only") + 1]
+            t0 = time.perf_counter()
+            if unit == "backbone":
+                out = jax.block_until_ready(backbone_forward(images))
+                print(f"backbone compiled+ran in {time.perf_counter()-t0:.1f}s;"
+                      f" feats: {sorted((k, tuple(v.shape)) for k, v in out.items())}")
+            else:
+                feats = jax.eval_shape(backbone_forward, images)
+                feats = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), feats)
+                out = jax.block_until_ready(heads_forward(feats))
+                print(f"heads compiled+ran in {time.perf_counter()-t0:.1f}s")
+            return
+
     else:
 
         @jax.jit
