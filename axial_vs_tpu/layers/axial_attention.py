@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.init import trunc_normal
-from ..ops.norm import BatchNorm
+from ..ops.norm import BatchNorm, ChannelBatchNorm
 from .convbn import ConvBN
 
 MAX_SPAN = 255
@@ -100,24 +100,30 @@ class AxialAttention(nn.Module):
         key_rpe = RelativePositionalEncoding(length, length, dk, name="key_rpe")()
         value_rpe = RelativePositionalEncoding(length, length, dv, name="value_rpe")()
 
-        content_sim = jnp.einsum("nlhd,nmhd->nlmh", q, k)
-        query_rpe_sim = jnp.einsum("nlhd,lmd->nlmh", q, query_rpe.astype(q.dtype))
-        key_rpe_sim = jnp.einsum("nmhd,lmd->nlmh", k, key_rpe.astype(k.dtype))
-        # (N, L, M, 3h): BN over the channel axis exactly as the reference's
-        # `_batch_norm_similarity` over a (N, 3h, L, M) tensor.
-        sim = jnp.concatenate([content_sim, query_rpe_sim, key_rpe_sim], axis=-1)
-        sim = BatchNorm(features=3 * h, dtype=self.dtype, name="batch_norm_similarity")(
-            sim, train=train
-        )
-        logits = sim.reshape(n, length, length, 3, h).sum(axis=3)  # (N, L, M, h)
-        weights = nn.softmax(logits.astype(jnp.float32), axis=2)
+        # head-BATCHED similarity layout (N, 3h, L, M): with the head axis
+        # minor (as the reference's channels-last port would do) every
+        # similarity-path op runs on 8-24 of 128 lanes; keeping L*M minor
+        # uses the VPU fully. BN matches the reference's
+        # `_batch_norm_similarity` over (N, 3h, L, M) exactly.
+        content_sim = jnp.einsum("nlhd,nmhd->nhlm", q, k)
+        query_rpe_sim = jnp.einsum("nlhd,lmd->nhlm", q, query_rpe.astype(q.dtype))
+        key_rpe_sim = jnp.einsum("nmhd,lmd->nhlm", k, key_rpe.astype(k.dtype))
+        # channel order = type-major (content | query | key), each h wide —
+        # identical to the previous concat-over-h layout
+        sim = jnp.concatenate([content_sim, query_rpe_sim, key_rpe_sim], axis=1)
+        sim = ChannelBatchNorm(
+            features=3 * h, axis=1, dtype=self.dtype,
+            name="batch_norm_similarity",
+        )(sim, train=train)
+        logits = sim.reshape(n, 3, h, length, length).sum(axis=1)  # (N, h, L, M)
+        weights = nn.softmax(logits.astype(jnp.float32), axis=3)
         weights = weights.astype(v.dtype)
 
-        retrieved_content = jnp.einsum("nlmh,nmhd->nlhd", weights, v).reshape(
+        retrieved_content = jnp.einsum("nhlm,nmhd->nlhd", weights, v).reshape(
             n, length, self.total_value_depth
         )
         retrieved_rpe = jnp.einsum(
-            "nlmh,lmd->nlhd", weights, value_rpe.astype(weights.dtype)
+            "nhlm,lmd->nlhd", weights, value_rpe.astype(weights.dtype)
         ).reshape(n, length, self.total_value_depth)
 
         retrieved = jnp.concatenate([retrieved_content, retrieved_rpe], axis=-1)

@@ -144,3 +144,57 @@ def get_norm(kind: str | None, features: int, **kwargs) -> nn.Module | None:
     if kind.lower() == "gn":
         return GroupNorm(features=features, **kwargs)
     raise ValueError(f"unknown norm {kind!r}")
+
+
+class ChannelBatchNorm(nn.Module):
+    """BatchNorm over an arbitrary channel axis (default 1), stats reduced
+    over all other axes — the torch ``BatchNorm2d`` layout for NCHW-shaped
+    intermediates. Same parameter/stat names as ``BatchNorm`` so the two are
+    interchangeable in converted checkpoints; used where a channels-last
+    transpose would dominate the op (axial-attention similarity logits,
+    which are (N, 3h, L, M) with 3h tiny)."""
+
+    features: int
+    axis: int = 1
+    epsilon: float = BN_EPS
+    momentum: float = BN_MOMENTUM
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        orig_dtype = x.dtype
+        axis = self.axis % x.ndim
+        reduce_axes = tuple(a for a in range(x.ndim) if a != axis)
+        shape = [1] * x.ndim
+        shape[axis] = self.features
+
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = 1
+                for a in reduce_axes:
+                    n *= x.shape[a]
+                correction = n / max(n - 1, 1)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (
+                    (1 - self.momentum) * ra_var.value + self.momentum * var * correction
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = (x.astype(jnp.float32) - mean.reshape(shape)) * jax.lax.rsqrt(
+            var.reshape(shape) + self.epsilon)
+        y = y * scale.reshape(shape) + bias.reshape(shape)
+        return y.astype(self.dtype or orig_dtype)
