@@ -122,7 +122,11 @@ class ConvNeXt(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stage_range=None):
+        """stage_range=(lo, hi) runs only stages lo..hi-1 on an already
+        stage-lo input and additionally returns the carry — lets callers
+        compile each stage as its own unit (bench.py --split-jit-fine, for
+        compile channels that reject a monolithic ConvNeXt-L program)."""
         block_cls = (
             nn.remat(ConvNeXtBlock, static_argnums=(2,))
             if self.remat
@@ -130,8 +134,9 @@ class ConvNeXt(nn.Module):
         )
         dp_rates = np.linspace(0.0, self.drop_path_rate, sum(self.depths))
         out = {}
-        cur = 0
-        for i in range(4):
+        lo, hi = stage_range if stage_range is not None else (0, 4)
+        cur = int(sum(self.depths[:lo]))
+        for i in range(lo, hi):
             if i == 0:
                 x = nn.Conv(
                     self.dims[0], (4, 4), strides=(4, 4),
@@ -187,4 +192,6 @@ class ConvNeXt(nn.Module):
                 out[stage_name] = LayerNorm(
                     features=self.dims[i], epsilon=1e-6, name=f"out_norm{i}"
                 )(x)
+        if stage_range is not None:
+            return out, x
         return out

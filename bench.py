@@ -91,7 +91,7 @@ def main():
 
     variables = jax.tree.map(_fill, shapes)
 
-    if "--split-jit" in argv:
+    if any(a.startswith("--split-jit") for a in argv):
         # Two compile units (backbone | WC+decoders): a monolithic
         # ConvNeXt-L graph exceeds what the sandbox's remote-compile
         # channel tolerates in one program. Runtime cost is one extra
@@ -115,9 +115,29 @@ def main():
         head_module = module.clone(backbone=IdentityBackbone(name="backbone"))
         bb_module = module.backbone.clone(name=None)
 
-        @jax.jit
-        def backbone_forward(images):
-            return bb_module.apply(bb_variables, images, train=False)
+        if "--split-jit-fine" in argv:
+            # one compile unit per backbone stage (the sandbox tunnel drops
+            # even a scanned monolithic ConvNeXt-L backbone program)
+            import functools
+
+            @functools.partial(jax.jit, static_argnums=(1,))
+            def stage_forward(x, i):
+                return bb_module.apply(
+                    bb_variables, x, train=False, stage_range=(i, i + 1))
+
+            def backbone_forward(images):
+                feats = {}
+                x = images
+                for i in range(4):
+                    out_i, x = stage_forward(x, i)
+                    feats.update(out_i)
+                return feats
+
+        else:
+
+            @jax.jit
+            def backbone_forward(images):
+                return bb_module.apply(bb_variables, images, train=False)
 
         @jax.jit
         def heads_forward(feats):
