@@ -120,3 +120,32 @@ def test_stdc_vps_recipe_builds_and_runs(rng):
     leaf = next(iter(jax.tree_util.tree_leaves(out)))
     assert np.isfinite(np.asarray(leaf)).all()
     assert isinstance(out, dict) and len(out) > 0
+
+
+def test_vitae_vis_recipe_builds_and_runs(rng):
+    """A ViTAEv2-VSA-backed TubeLink recipe builds through the registry
+    (the reference registers ViTAEv2_VSA in mmdet BACKBONES, T2)."""
+    from axial_vs_tpu.config import get_default_config
+    from axial_vs_tpu.models.build import build_model_and_criterion
+
+    cfg = get_default_config()
+    cfg.model.meta_architecture = "TubeLinkVIS"
+    cfg.model.backbone.name = "vitaev2_s"
+    cfg.model.backbone.vitae.embed_dims = [8, 8, 8, 8]
+    cfg.model.backbone.vitae.token_dims = [8, 16, 32, 64]
+    cfg.model.backbone.vitae.nc_depths = [1, 1, 1, 1]
+    cfg.model.backbone.vitae.nc_heads = [2, 2, 2, 2]
+    cfg.model.backbone.vitae.nc_groups = [1, 2, 2, 2]
+    cfg.model.backbone.vitae.window_size = 2
+    cfg.model.num_classes = 6
+    cfg.model.tube_link.num_queries = 8
+    cfg.input.num_clip_frames = 2
+    model, _ = build_model_and_criterion(cfg, train=False)
+    assert type(model.backbone).__name__ == "ViTAEv2VSA"
+
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
+    out = jax.jit(lambda v: model.apply(v, x, train=False))(variables)
+    leaf = next(iter(jax.tree_util.tree_leaves(out)))
+    assert np.isfinite(np.asarray(leaf)).all()
