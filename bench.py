@@ -115,34 +115,43 @@ def main():
         head_module = module.clone(backbone=IdentityBackbone(name="backbone"))
         bb_module = module.backbone.clone(name=None)
 
+        # NOTE: variables are threaded as jit ARGUMENTS, never closed over —
+        # a closed-over jax.Array is baked into the program as a constant,
+        # and the remote-compile tunnel rejects the resulting request body
+        # for ConvNeXt-L (HTTP 413 length limit / broken pipe).
         if "--split-jit-fine" in argv:
-            # one compile unit per backbone stage (the sandbox tunnel drops
-            # even a scanned monolithic ConvNeXt-L backbone program)
+            # one compile unit per backbone stage
             import functools
 
-            @functools.partial(jax.jit, static_argnums=(1,))
-            def stage_forward(x, i):
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def stage_forward(vs, x, i):
                 return bb_module.apply(
-                    bb_variables, x, train=False, stage_range=(i, i + 1))
+                    vs, x, train=False, stage_range=(i, i + 1))
 
             def backbone_forward(images):
                 feats = {}
                 x = images
                 for i in range(4):
-                    out_i, x = stage_forward(x, i)
+                    out_i, x = stage_forward(bb_variables, x, i)
                     feats.update(out_i)
                 return feats
 
         else:
 
             @jax.jit
+            def _backbone_forward(vs, images):
+                return bb_module.apply(vs, images, train=False)
+
             def backbone_forward(images):
-                return bb_module.apply(bb_variables, images, train=False)
+                return _backbone_forward(bb_variables, images)
 
         @jax.jit
-        def heads_forward(feats):
-            out = head_module.apply(head_variables, feats, train=False)
+        def _heads_forward(vs, feats):
+            out = head_module.apply(vs, feats, train=False)
             return out["pred_logits"], out["pred_masks"], out["pred_mask_embeddings"]
+
+        def heads_forward(feats):
+            return _heads_forward(head_variables, feats)
 
         def clip_forward(images):
             return heads_forward(backbone_forward(images))
@@ -166,13 +175,16 @@ def main():
     else:
 
         @jax.jit
-        def clip_forward(images):
-            out = module.apply(variables, images, train=False)
+        def _clip_forward(vs, images):
+            out = module.apply(vs, images, train=False)
             return (
                 out["pred_logits"],
                 out["pred_masks"],
                 out["pred_mask_embeddings"],
             )
+
+        def clip_forward(images):
+            return _clip_forward(variables, images)
 
     # warmup/compile
     out = clip_forward(images)
