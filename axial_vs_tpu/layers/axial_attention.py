@@ -64,6 +64,11 @@ class AxialAttention(nn.Module):
     total_key_depth: int = 512
     total_value_depth: int = 1024
     num_heads: int = 8
+    # (N,3h,L,M) similarity layout. Measured SLOWER on v5e than the
+    # head-minor default (3.03 vs 2.71 ms/block at stage-1 geometry): XLA
+    # already fuses the head-minor path well and the head-batched einsums
+    # add relayouts. Kept as an option for other geometries.
+    head_batched: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -100,31 +105,56 @@ class AxialAttention(nn.Module):
         key_rpe = RelativePositionalEncoding(length, length, dk, name="key_rpe")()
         value_rpe = RelativePositionalEncoding(length, length, dv, name="value_rpe")()
 
-        # head-BATCHED similarity layout (N, 3h, L, M): with the head axis
-        # minor (as the reference's channels-last port would do) every
-        # similarity-path op runs on 8-24 of 128 lanes; keeping L*M minor
-        # uses the VPU fully. BN matches the reference's
-        # `_batch_norm_similarity` over (N, 3h, L, M) exactly.
-        content_sim = jnp.einsum("nlhd,nmhd->nhlm", q, k)
-        query_rpe_sim = jnp.einsum("nlhd,lmd->nhlm", q, query_rpe.astype(q.dtype))
-        key_rpe_sim = jnp.einsum("nmhd,lmd->nhlm", k, key_rpe.astype(k.dtype))
-        # channel order = type-major (content | query | key), each h wide —
-        # identical to the previous concat-over-h layout
-        sim = jnp.concatenate([content_sim, query_rpe_sim, key_rpe_sim], axis=1)
-        sim = ChannelBatchNorm(
-            features=3 * h, axis=1, dtype=self.dtype,
-            name="batch_norm_similarity",
-        )(sim, train=train)
-        logits = sim.reshape(n, 3, h, length, length).sum(axis=1)  # (N, h, L, M)
-        weights = nn.softmax(logits.astype(jnp.float32), axis=3)
-        weights = weights.astype(v.dtype)
+        if self.head_batched:
+            # head-BATCHED similarity layout (N, 3h, L, M): with the head
+            # axis minor every similarity-path op runs on 8-24 of 128
+            # lanes; keeping L*M minor uses the VPU fully. BN matches the
+            # reference's `_batch_norm_similarity` over (N, 3h, L, M).
+            content_sim = jnp.einsum("nlhd,nmhd->nhlm", q, k)
+            query_rpe_sim = jnp.einsum(
+                "nlhd,lmd->nhlm", q, query_rpe.astype(q.dtype))
+            key_rpe_sim = jnp.einsum(
+                "nmhd,lmd->nhlm", k, key_rpe.astype(k.dtype))
+            # channel order = type-major (content | query | key), each h
+            # wide — identical to the head-minor concat layout
+            sim = jnp.concatenate(
+                [content_sim, query_rpe_sim, key_rpe_sim], axis=1)
+            sim = ChannelBatchNorm(
+                features=3 * h, axis=1, dtype=self.dtype,
+                name="batch_norm_similarity",
+            )(sim, train=train)
+            logits = sim.reshape(n, 3, h, length, length).sum(axis=1)
+            weights = nn.softmax(logits.astype(jnp.float32), axis=3)
+            weights = weights.astype(v.dtype)
 
-        retrieved_content = jnp.einsum("nhlm,nmhd->nlhd", weights, v).reshape(
-            n, length, self.total_value_depth
-        )
-        retrieved_rpe = jnp.einsum(
-            "nhlm,lmd->nlhd", weights, value_rpe.astype(weights.dtype)
-        ).reshape(n, length, self.total_value_depth)
+            retrieved_content = jnp.einsum(
+                "nhlm,nmhd->nlhd", weights, v).reshape(
+                n, length, self.total_value_depth)
+            retrieved_rpe = jnp.einsum(
+                "nhlm,lmd->nlhd", weights, value_rpe.astype(weights.dtype)
+            ).reshape(n, length, self.total_value_depth)
+        else:
+            content_sim = jnp.einsum("nlhd,nmhd->nlmh", q, k)
+            query_rpe_sim = jnp.einsum(
+                "nlhd,lmd->nlmh", q, query_rpe.astype(q.dtype))
+            key_rpe_sim = jnp.einsum(
+                "nmhd,lmd->nlmh", k, key_rpe.astype(k.dtype))
+            sim = jnp.concatenate(
+                [content_sim, query_rpe_sim, key_rpe_sim], axis=-1)
+            sim = BatchNorm(
+                features=3 * h, dtype=self.dtype,
+                name="batch_norm_similarity",
+            )(sim, train=train)
+            logits = sim.reshape(n, length, length, 3, h).sum(axis=3)
+            weights = nn.softmax(logits.astype(jnp.float32), axis=2)
+            weights = weights.astype(v.dtype)
+
+            retrieved_content = jnp.einsum(
+                "nlmh,nmhd->nlhd", weights, v).reshape(
+                n, length, self.total_value_depth)
+            retrieved_rpe = jnp.einsum(
+                "nlmh,lmd->nlhd", weights, value_rpe.astype(weights.dtype)
+            ).reshape(n, length, self.total_value_depth)
 
         retrieved = jnp.concatenate([retrieved_content, retrieved_rpe], axis=-1)
         retrieved = BatchNorm(
@@ -144,6 +174,7 @@ class AxialAttention2D(nn.Module):
     key_expansion: float = 1.0
     value_expansion: float = 2.0
     num_heads: int = 8
+    head_batched: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -159,6 +190,7 @@ class AxialAttention2D(nn.Module):
             total_key_depth=total_key_depth,
             total_value_depth=total_value_depth,
             num_heads=self.num_heads,
+            head_batched=self.head_batched,
             dtype=self.dtype,
             name="height_axis",
         )(xh, train=train)
@@ -173,6 +205,7 @@ class AxialAttention2D(nn.Module):
             total_key_depth=total_key_depth,
             total_value_depth=total_value_depth,
             num_heads=self.num_heads,
+            head_batched=self.head_batched,
             dtype=self.dtype,
             name="width_axis",
         )(xw, train=train)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.init import trunc_normal
-from ..ops.norm import BatchNorm, ChannelBatchNorm
+from ..ops.norm import BatchNorm
 from ..ops.resize import resize_bilinear
 from .convbn import ConvBN, DropPath
 
@@ -47,14 +47,12 @@ class AttentionOperation(nn.Module):
     @nn.compact
     def __call__(self, query, key, value, train: bool = False):
         b, l, h, _ = query.shape
-        # head-batched (B, h, L, M) similarity: the head axis has only 8
-        # lanes — keeping M minor uses the full VPU (see axial_attention.py)
-        sim = jnp.einsum("blhd,bmhd->bhlm", query, key)
-        sim = ChannelBatchNorm(
-            features=h, axis=1, dtype=self.dtype, name="batch_norm_similarity"
-        )(sim, train=train)
-        weights = nn.softmax(sim.astype(jnp.float32), axis=3).astype(value.dtype)
-        retrieved = jnp.einsum("bhlm,bmhd->blhd", weights, value).reshape(
+        sim = jnp.einsum("blhd,bmhd->blmh", query, key)
+        sim = BatchNorm(features=h, dtype=self.dtype, name="batch_norm_similarity")(
+            sim, train=train
+        )
+        weights = nn.softmax(sim.astype(jnp.float32), axis=2).astype(value.dtype)
+        retrieved = jnp.einsum("blmh,bmhd->blhd", weights, value).reshape(
             b, l, self.channels_v
         )
         retrieved = BatchNorm(

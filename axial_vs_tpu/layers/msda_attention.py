@@ -130,12 +130,13 @@ class MSDeformAttn(nn.Module):
             + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
         )
 
-        # head-major output + per-head projection slices: folds the
-        # (B, M, Lq, D) -> (B, Lq, M*D) retile into the output matmul
-        out = ms_deform_attn(value, spatial_shapes, locations, weights,
-                             head_major_out=True)
-        return _HeadMajorDense(self.d_model, self.d_model, dtype=self.dtype,
-                               name="output_proj")(out)
+        # NOTE: a head-major output + per-head projection einsum was tried
+        # here (fold the (B, M, Lq, D) -> (B, Lq, M*D) retile into the
+        # matmul) and measured SLOWER on v5e (+3 ms/layer: XLA relayouts
+        # the operand anyway and loses the efficient Dense form) — keep the
+        # explicit transpose + Dense.
+        out = ms_deform_attn(value, spatial_shapes, locations, weights)
+        return _dense(self.d_model, self.d_model, "output_proj", self.dtype)(out)
 
 
 class MSDeformAttnEncoderLayer(nn.Module):

@@ -83,10 +83,14 @@ def main():
     host_rng = np.random.RandomState(0)
 
     def _fill(s):
-        # positive values keep BN variances valid; magnitudes are irrelevant
-        # for throughput measurement
+        # positive, fan-in-scaled values: keeps BN variances valid AND
+        # activations finite through deep backbones (ConvNeXt-L overflows
+        # bf16 with O(0.1) weights at 1536-dim contractions)
+        fan_in = s.shape[-2] if len(s.shape) >= 2 else 1
+        scale = min(0.5, 1.0 / np.sqrt(max(fan_in, 1)))
         return jnp.asarray(
-            host_rng.uniform(0.02, 0.5, s.shape).astype(np.float32), dtype=s.dtype
+            host_rng.uniform(0.2, 1.0, s.shape).astype(np.float32) * scale,
+            dtype=s.dtype,
         )
 
     variables = jax.tree.map(_fill, shapes)
@@ -186,9 +190,12 @@ def main():
         def clip_forward(images):
             return _clip_forward(variables, images)
 
-    # warmup/compile
-    out = clip_forward(images)
-    jax.block_until_ready(out)
+    def checksum(out):
+        return sum(o.astype(jnp.float32).mean() for o in jax.tree.leaves(out))
+
+    # warmup/compile (materialize a scalar: on the axon backend
+    # block_until_ready does NOT force execution of the dispatch queue)
+    float(checksum(clip_forward(images)))
 
     if "--profile" in sys.argv:
         # capture a device trace of a few steady-state steps for kernel
@@ -200,11 +207,38 @@ def main():
         jax.block_until_ready(out)
         jax.profiler.stop_trace()
 
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = clip_forward(images)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - start
+    # Timing runs ON DEVICE under lax.fori_loop: the axon remote backend
+    # executes lazily (block_until_ready does not force the queue) and a
+    # host materialization per step would bill ~40ms of tunnel round-trip
+    # to every clip. One dispatch + one scalar readback measures pure
+    # device throughput — the "frames/sec/chip" a production pipeline with
+    # host/device overlap would see. The carry perturbs the input by 1e-12
+    # so XLA cannot hoist the loop body as loop-invariant.
+    if any(a.startswith("--split-jit") for a in argv):
+        # per-unit jits can't nest inside one fori_loop; chain dependencies
+        # across steps instead so every step must execute
+        start = time.perf_counter()
+        carry = jnp.float32(0)
+        for _ in range(iters):
+            out = clip_forward(images + carry * 1e-12)
+            carry = checksum(out)
+        float(carry)
+        elapsed = time.perf_counter() - start
+    else:
+
+        @jax.jit
+        def bench_loop(vs, images, n):
+            def body(i, carry):
+                out = module.apply(vs, images + carry * 1e-12, train=False)
+                return checksum((out["pred_logits"], out["pred_masks"],
+                                 out["pred_mask_embeddings"]))
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        float(bench_loop(variables, images, 1))  # compile the loop program
+        start = time.perf_counter()
+        float(bench_loop(variables, images, iters))
+        elapsed = time.perf_counter() - start
 
     fps = clip_frames * iters / elapsed
     ref_fps = ASSUMED_REFERENCE_FPS.get(backbone, 12.0)
