@@ -146,9 +146,9 @@ def main():
 
     ref = None
     for name in names:
-        fn = jax.jit(VARIANTS[name])
-        out = jax.block_until_ready(fn(value, loc, aw))
-        got = np.asarray(out, np.float32)
+        fn = VARIANTS[name]
+        out = jax.jit(fn)(value, loc, aw)
+        got = np.asarray(out, np.float32)  # materialize: forces execution
         if got.ndim == 4:  # head-major variants
             got = got.transpose(0, 2, 1, 3).reshape(got.shape[0], got.shape[2], -1)
         if ref is None:
@@ -156,10 +156,19 @@ def main():
         else:
             err = np.max(np.abs(got - ref))
             print(f"{name}: max |diff| vs prod = {err:.4f}")
+
+        # device-side timing loop: the axon backend executes lazily, so a
+        # host loop + block_until_ready measures dispatch, not compute
+        @jax.jit
+        def loop(value, loc, aw, n, fn=fn):
+            def body(i, carry):
+                out = fn(value + carry.astype(value.dtype) * 1e-12, loc, aw)
+                return out.astype(jnp.float32).mean()
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        float(loop(value, loc, aw, 1))
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = fn(value, loc, aw)
-        jax.block_until_ready(out)
+        float(loop(value, loc, aw, args.iters))
         dt = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"{name}: {dt:.2f} ms/layer")
 
