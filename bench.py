@@ -61,9 +61,9 @@ def main():
         cfg.model.backbone.convnext.depths = [3, 3, 27, 3]
         cfg.model.backbone.convnext.dims = [192, 384, 768, 1536]
         cfg.model.backbone.convnext.drop_path_rate = 0.0
-        # scan blocks per stage: 108 unrolled blocks exceed what the
-        # remote-compile tunnel tolerates
-        cfg.model.backbone.convnext.use_scan = True
+        # scan blocks per stage keeps the program small; --no-scan unrolls
+        # all 108 blocks (bigger/slower compile, no while-loop overhead)
+        cfg.model.backbone.convnext.use_scan = "--no-scan" not in argv
     cfg.model.num_classes = 124
     cfg.model.dtype = "bfloat16"
     cfg.input.image_size = list(image_size)
