@@ -134,20 +134,20 @@ def ms_deform_attn(
         and jax.default_backend() == "tpu"
         and d % 8 == 0
     ):
-        # fused Pallas reduction over the materialized gather output —
-        # retained for experimentation; the sample-loop path below is faster
-        # (it never materializes the (rows, S, 4D) intermediate at all)
+        # fused Pallas reduction over the materialized gather output
+        # (one gather, VMEM-blocked reduce) — experimental alternative to
+        # the sample-loop path below; benchmark with tools/bench_msda.py
         from .msda_pallas import weighted_corner_reduce
 
         g = flat.at[idx.reshape(-1)].get(
             mode="promise_in_bounds"
         ).reshape(rows, n_samples, 4 * d)
-        w = wgt.reshape(rows, n_samples, 4)
-        block = int(os.environ.get("AXIALVS_MSDA_PALLAS_BLOCK", "128"))
+        w = wgt.reshape(rows, n_samples * 4)
+        block = int(os.environ.get("AXIALVS_MSDA_PALLAS_BLOCK", "256"))
         pad = (-rows) % block
         if pad:
             g = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
-            w = jnp.pad(w, ((0, pad), (0, 0), (0, 0)))
+            w = jnp.pad(w, ((0, pad), (0, 0)))
         out = weighted_corner_reduce(g, w, block_rows=block)[:rows]
     else:
         # ONE gather per sampling point, fused multiply-accumulate: XLA

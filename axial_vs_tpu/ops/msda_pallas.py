@@ -1,14 +1,19 @@
-"""Pallas TPU kernel: MSDA sample-weighted reduction.
+"""Pallas TPU kernel: MSDA sample-weighted corner reduction (v2).
 
-Fuses the corner-weight broadcast + multiply + sample/corner reduction of
-``ops.msda.ms_deform_attn`` into one VMEM pass. XLA materializes the
-128-lane-repeated weights (1 GB at VIPSeg scale) plus a relayout copy
-(~12 ms/layer); this kernel expands the (S, 4) slot weights in-register and
-reduces the gathered (S, 4*D) rows directly (~traffic-bound).
+Consumes the materialized gather output g (R, S, 4*D) and LANE-PACKED slot
+weights w (R, S*4) and produces out (R, D):
 
-Contract: g (R, S, 4*D) gathered corner rows, w (R, S, 4) slot weights
-(already including attention weights) -> out (R, D): for each row r,
-``out[r, d] = sum_s sum_k g[r, s, k*D+d] * w[r, s, k]``.
+    out[r, d] = sum_s sum_k g[r, s, k*D+d] * w[r, s*4+k]
+
+v1 passed w as (R, S, 4); the (S, 4) trailing dims tile to (16, 128) so
+each 24 KB weight block ballooned to 512 KB of VMEM traffic — more than
+the gather block itself. v2 keeps w 2-D (R, S*4): a (block, 48) tile pads
+to (block, 128) lanes only. The weight broadcast to D lanes happens
+in-register; the kernel is HBM-traffic-bound (reads g once, writes out).
+
+Used by ops/msda.py behind AXIALVS_MSDA_PALLAS=1; the default XLA path
+(per-sample gathers fused into the accumulate) avoids materializing g at
+all — benchmark both with tools/bench_msda.py before switching.
 """
 from __future__ import annotations
 
@@ -20,35 +25,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(g_ref, w_ref, out_ref, *, d: int):
+def _kernel(g_ref, w_ref, out_ref, *, d: int, s: int):
     g = g_ref[...]            # (BLK, S, 4*D)
-    w = w_ref[...]            # (BLK, S, 4)
-    acc = jnp.zeros((g.shape[0], d), jnp.float32)
-    for k in range(4):
-        acc = acc + jnp.sum(
-            g[:, :, k * d : (k + 1) * d].astype(jnp.float32)
-            * w[:, :, k : k + 1].astype(jnp.float32),
-            axis=1,
-        )
-    out_ref[...] = acc.astype(out_ref.dtype)
+    w = w_ref[...]            # (BLK, S*4)
+    # lane-expand the 4 slot weights to 4*D lanes with a tiny 0/1 matmul
+    # (slice-and-broadcast per corner blows the scoped-VMEM budget)
+    col = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * d), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * d), 0)
+    e = (col // d == row).astype(jnp.float32)
+    acc = jnp.zeros((g.shape[0], 4 * d), jnp.float32)
+    for si in range(s):
+        wr = jnp.dot(w[:, si * 4:(si + 1) * 4].astype(jnp.float32), e)
+        acc = acc + g[:, si].astype(jnp.float32) * wr
+    out_ref[...] = (
+        acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+        + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d]
+    ).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
-def weighted_corner_reduce(g, w, block_rows: int = 128):
-    """g (R, S, 4*D); w (R, S, 4) -> (R, D). R must divide by block_rows
+def weighted_corner_reduce(g, w, block_rows: int = 256):
+    """g (R, S, 4*D); w (R, S*4) -> (R, D). R must divide by block_rows
     (caller pads)."""
     r, s, d4 = g.shape
     d = d4 // 4
     assert r % block_rows == 0, (r, block_rows)
+    assert w.shape == (r, s * 4), (w.shape, r, s)
     grid = (r // block_rows,)
     return pl.pallas_call(
-        functools.partial(_kernel, d=d),
+        functools.partial(_kernel, d=d, s=s),
         out_shape=jax.ShapeDtypeStruct((r, d), g.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_rows, s, d4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, s, 4), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_rows, s * 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0),
@@ -57,9 +68,9 @@ def weighted_corner_reduce(g, w, block_rows: int = 128):
 
 
 def weighted_corner_reduce_ref(g, w):
-    """Pure-jnp reference for tests."""
+    """Pure-jnp reference for tests. w (R, S*4)."""
     r, s, d4 = g.shape
     d = d4 // 4
-    g = g.reshape(r, s, 4, d)
-    return jnp.einsum("rskd,rsk->rd", g.astype(jnp.float32),
-                      w.astype(jnp.float32)).astype(g.dtype)
+    gg = g.astype(jnp.float32).reshape(r, s, 4, d)
+    ww = w.astype(jnp.float32).reshape(r, s, 4)
+    return jnp.einsum("rskd,rsk->rd", gg, ww).astype(g.dtype)

@@ -80,3 +80,22 @@ def test_msda_grads_finite():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_weighted_corner_reduce_ref_contract(rng):
+    """The Pallas kernel's jnp reference implements the documented contract
+    (the kernel itself is TPU-only; parity kernel<->ref is exercised by
+    AXIALVS_MSDA_PALLAS=1 runs of tools/bench_msda.py on hardware)."""
+    import jax.numpy as jnp
+    from axial_vs_tpu.ops.msda_pallas import weighted_corner_reduce_ref
+
+    r, s, d = 6, 5, 8
+    g = jnp.asarray(rng.randn(r, s, 4 * d).astype(np.float32))
+    w = jnp.asarray(rng.randn(r, s * 4).astype(np.float32))
+    out = weighted_corner_reduce_ref(g, w)
+    want = np.einsum(
+        "rskd,rsk->rd",
+        np.asarray(g).reshape(r, s, 4, d),
+        np.asarray(w).reshape(r, s, 4),
+    )
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5)
