@@ -1,0 +1,124 @@
+"""Benchmark: MaXTron WC training-step throughput on one chip.
+
+Full training step (forward + PQ-style set criterion with on-device
+auction matching + backward + AdamW with per-param LR/WD rules) for the
+R50 WC VIPSeg recipe at the reference's 713x713 train crops, T=2, bf16
+compute / f32 loss island. The step runs under a device-side fori_loop
+carrying the train state — true consecutive optimizer steps, one dispatch.
+
+Prints ONE JSON line (clips/sec; one clip = one T-frame video sample).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    argv = sys.argv
+    iters = int(argv[argv.index("--iters") + 1]) if "--iters" in argv else 5
+    t = 2
+    image_size = (713, 713)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from axial_vs_tpu.config import get_default_config
+    from axial_vs_tpu.engine.lr_schedule import tf2_warmup_poly_lr
+    from axial_vs_tpu.engine.optim import build_optimizer
+    from axial_vs_tpu.engine.train_step import make_train_step
+    from axial_vs_tpu.losses.criterion import SetCriterion
+    from axial_vs_tpu.models.kmax import build_segmenter
+
+    cfg = get_default_config()
+    cfg.model.num_classes = 124
+    cfg.model.dtype = "bfloat16"
+    cfg.input.image_size = list(image_size)
+    cfg.input.num_clip_frames = t
+    cfg.model.maxtron.wc.enable = True
+
+    module = build_segmenter(cfg, num_frames=t, train=True)
+    criterion = SetCriterion(
+        num_classes=cfg.model.num_classes,
+        weights={"loss_ce": 3.0, "loss_mask": 0.3, "loss_dice": 3.0,
+                 "loss_pixel_insdis": 1.0, "loss_aux_semantic": 1.0},
+        exact_matching=False,  # device auction LAP, no host callback
+    )
+    from axial_vs_tpu.engine.train_step import TrainState
+
+    b, m_gt = 1, 24
+    rng = jax.random.PRNGKey(0)
+    images = jnp.zeros((b * t, *image_size, 3), jnp.float32)
+    shapes = jax.eval_shape(lambda: module.init(rng, images, train=True))
+    host = np.random.RandomState(0)
+
+    def fill(s):
+        fan_in = s.shape[-2] if len(s.shape) >= 2 else 1
+        scale = min(0.5, 1.0 / np.sqrt(max(fan_in, 1)))
+        return jnp.asarray(
+            host.uniform(0.2, 1.0, s.shape).astype(np.float32) * scale,
+            dtype=s.dtype)
+
+    variables = jax.tree.map(fill, shapes)
+    tx = build_optimizer(
+        cfg, variables["params"],
+        tf2_warmup_poly_lr(cfg.solver.base_lr, cfg.solver.max_iter))
+    state = TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+
+    h4, w4 = (image_size[0] + 3) // 4, (image_size[1] + 3) // 4
+    rs = np.random.RandomState(0)
+    targets = {
+        "labels": jnp.asarray(rs.randint(0, cfg.model.num_classes, (b, m_gt))),
+        "masks": jnp.asarray(
+            (rs.rand(b, m_gt, t, h4, w4) > 0.8).astype(np.float32)),
+        "valid": jnp.ones((b, m_gt), bool),
+        "semantic_masks": jnp.asarray(
+            rs.randint(-1, cfg.model.num_classes, (b, t, h4, w4))),
+    }
+    imgs = jnp.asarray(rs.randn(b * t, *image_size, 3).astype(np.float32))
+
+    train_step = make_train_step(module, criterion, tx)
+
+    @jax.jit
+    def bench_loop(state, batch, n):
+        def body(i, carry):
+            st, _ = carry
+            st, metrics = train_step(
+                st, batch, jax.random.fold_in(jax.random.PRNGKey(1), i))
+            return st, metrics["total_loss"]
+
+        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+
+    batch = {"images": imgs, "targets": targets}
+    _, loss1 = bench_loop(state, batch, 1)
+    loss1 = float(loss1)
+    t0 = time.perf_counter()
+    _, loss = bench_loop(state, batch, iters)
+    loss = float(loss)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "VIPSeg WC training steps/sec/chip "
+                  f"(r50, {image_size[0]}x{image_size[1]}, T={t}, bf16)",
+        "value": round(iters / dt, 4),
+        "unit": "steps/sec",
+        "loss_first": round(loss1, 3),
+        "loss_last": round(loss, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
