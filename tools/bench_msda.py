@@ -346,5 +346,28 @@ def variant_no_final_transpose(value, loc, aw):
 VARIANTS["no_final_transpose"] = variant_no_final_transpose
 
 
+
+
+def variant_gather_only(value, loc, aw):
+    """Floor probe: the 12 fused gathers + adds WITHOUT the weight multiply
+    (not numerically meaningful — timing only)."""
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    flat, idx, wgt = _prep(value, loc, aw)
+    rows = b * m * lq
+    n_samples = idx.shape[-1]
+    idx = idx.reshape(rows, n_samples)
+    acc = jnp.zeros((rows, 4 * d), value.dtype)
+    for si in range(n_samples):
+        acc = acc + flat.at[idx[:, si]].get(mode="promise_in_bounds")
+    out = (acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+           + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
+    out = out.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
+
+
+VARIANTS["gather_only"] = variant_gather_only
+
+
 if __name__ == "__main__":
     main()
