@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.msda import ms_deform_attn
-from .trajectory_attention import _dense, xavier_uniform, torch_linear_bias_init
+from .trajectory_attention import _dense
 from ..ops.norm import LayerNorm
 
 
@@ -57,29 +57,6 @@ def _offset_bias_init(n_heads: int, n_levels: int, n_points: int):
         return jnp.asarray(bias, dtype)
 
     return init
-
-
-class _HeadMajorDense(nn.Module):
-    """Dense layer applied to head-major (B, M, Lq, D) input, contracting
-    over (m, d) against a standard (M*D, out) kernel — same parameters and
-    math as ``nn.Dense`` on (B, Lq, M*D), without materializing that retile.
-    """
-
-    features: int
-    fan_in: int
-    dtype: Any = None
-
-    @nn.compact
-    def __call__(self, x):
-        b, m, lq, d = x.shape
-        kernel = self.param("kernel", xavier_uniform(),
-                            (m * d, self.features), jnp.float32)
-        bias = self.param("bias", torch_linear_bias_init(self.fan_in),
-                          (self.features,), jnp.float32)
-        dt = self.dtype or x.dtype
-        y = jnp.einsum("bmqd,mdo->bqo", x.astype(dt),
-                       kernel.reshape(m, d, self.features).astype(dt))
-        return y + bias.astype(dt)
 
 
 class MSDeformAttn(nn.Module):

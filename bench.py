@@ -162,7 +162,11 @@ def main():
 
         if "--compile-only" in argv:
             # diagnose which unit the remote-compile channel rejects
-            unit = argv[argv.index("--compile-only") + 1]
+            idx = argv.index("--compile-only") + 1
+            if idx >= len(argv) or argv[idx] not in ("backbone", "heads"):
+                print("usage: bench.py ... --compile-only {backbone|heads}")
+                return
+            unit = argv[idx]
             t0 = time.perf_counter()
             if unit == "backbone":
                 out = jax.block_until_ready(backbone_forward(images))

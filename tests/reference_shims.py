@@ -384,17 +384,29 @@ def load_qdtrack_trackers():
         a2 = (b2[:, 2] - b2[:, 0]) * (b2[:, 3] - b2[:, 1])
         return inter / (a1[:, None] + a2[None, :] - inter).clamp(min=1e-6)
 
+    import importlib.util
+
+    # Stub ONLY genuinely-absent modules: overwriting a real, importable
+    # module (cv2!) leaks into later tests in the same process and makes
+    # the suite order-dependent (ADVICE round 1).
     stubs = {}
     for name in ("cv2", "seaborn", "mmcv", "mmcv.image", "mmcv.visualization"):
-        mod = types.ModuleType(name)
-        stubs[name] = mod
-    stubs["mmcv"].image = stubs["mmcv.image"]
-    stubs["mmcv"].visualization = stubs["mmcv.visualization"]
-    stubs["mmcv.image"].imread = lambda *a, **k: None
-    stubs["mmcv.image"].imwrite = lambda *a, **k: None
-    stubs["mmcv.visualization"].color_val = lambda *a, **k: (0, 0, 0)
-    stubs["mmcv.visualization"].imshow = lambda *a, **k: None
-    stubs["mmcv"].color_val = lambda *a, **k: (0, 0, 0)
+        if name in sys.modules:
+            continue
+        try:
+            if importlib.util.find_spec(name) is not None:
+                continue
+        except (ImportError, ValueError):
+            pass
+        stubs[name] = types.ModuleType(name)
+    if "mmcv" in stubs:
+        stubs["mmcv"].image = stubs["mmcv.image"]
+        stubs["mmcv"].visualization = stubs["mmcv.visualization"]
+        stubs["mmcv.image"].imread = lambda *a, **k: None
+        stubs["mmcv.image"].imwrite = lambda *a, **k: None
+        stubs["mmcv.visualization"].color_val = lambda *a, **k: (0, 0, 0)
+        stubs["mmcv.visualization"].imshow = lambda *a, **k: None
+        stubs["mmcv"].color_val = lambda *a, **k: (0, 0, 0)
     mmdet_core = types.ModuleType("mmdet.core")
     mmdet_core.bbox_overlaps = _bbox_overlaps
     if "mmdet" not in sys.modules:

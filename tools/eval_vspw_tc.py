@@ -86,6 +86,11 @@ def main():
         frames = sorted(
             f for f in os.listdir(os.path.join(datadir, video, "origin"))
             if not f.startswith("."))
+        if len(frames) < 2:
+            # no frame pairs → no flow; the reference iterates
+            # imglist_[:-1] and likewise skips such videos
+            print(f"{video}: <2 frames, skipped", flush=True)
+            continue
         preds, flows = [], []
         prev = None
         for i, name in enumerate(frames):
