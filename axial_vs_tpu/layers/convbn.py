@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.act import gelu
+
 from ..ops.init import conv_init, trunc_normal
 from ..ops.norm import get_norm
 
@@ -26,7 +28,7 @@ def get_activation(name: str | None):
     if name == "relu":
         return nn.relu
     if name == "gelu":
-        return lambda x: nn.gelu(x, approximate=False)
+        return lambda x: gelu(x)
     raise ValueError(f"unknown activation {name!r}")
 
 

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.act import gelu
+
 from ..ops.init import trunc_normal
 from ..ops.norm import BatchNorm
 from ..ops.resize import resize_bilinear
@@ -58,7 +60,7 @@ class AttentionOperation(nn.Module):
         retrieved = BatchNorm(
             features=self.channels_v, dtype=self.dtype, name="batch_norm_retrieved_value"
         )(retrieved, train=train)
-        return nn.gelu(retrieved, approximate=False)
+        return gelu(retrieved)
 
 
 class KMaXPredictor(nn.Module):
@@ -157,7 +159,7 @@ class KMaXTransformerLayer(nn.Module):
         pixel_space = ConvBN(
             bottleneck, kernel_size=1, use_bias=False, norm="syncbn", act="gelu",
             dtype=self.dtype, name="pixel_conv1",
-        )(nn.gelu(pixel_feature, approximate=False), train=train)
+        )(gelu(pixel_feature), train=train)
 
         # ---- k-means cross-attention ----------------------------------------
         pixel_value = ConvBN(
@@ -212,7 +214,7 @@ class KMaXTransformerLayer(nn.Module):
         query_feature = query_feature + DropPath(self.drop_path_prob, name="drop_path_attn")(
             attn, deterministic=not train
         )
-        query_feature = nn.gelu(query_feature, approximate=False)
+        query_feature = gelu(query_feature)
 
         # ---- FFN ------------------------------------------------------------
         ffn = ConvBN(
@@ -226,7 +228,7 @@ class KMaXTransformerLayer(nn.Module):
         query_feature = query_feature + DropPath(self.drop_path_prob, name="drop_path_ffn")(
             ffn, deterministic=not train
         )
-        query_feature = nn.gelu(query_feature, approximate=False)
+        query_feature = gelu(query_feature)
 
         return query_feature, prediction
 

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.act import gelu
+
 from ..ops.msda import ms_deform_attn
 from .trajectory_attention import _dense
 from ..ops.norm import LayerNorm
@@ -139,7 +141,7 @@ class MSDeformAttnEncoderLayer(nn.Module):
         src = LayerNorm(features=self.d_model, epsilon=1e-5, name="norm1")(src + attn)
 
         y = _dense(self.d_ffn, self.d_model, "linear1", self.dtype)(src)
-        y = nn.relu(y) if self.activation == "relu" else nn.gelu(y, approximate=False)
+        y = nn.relu(y) if self.activation == "relu" else gelu(y)
         y = nn.Dropout(self.dropout)(y, deterministic=not train)
         y = _dense(self.d_model, self.d_ffn, "linear2", self.dtype)(y)
         y = nn.Dropout(self.dropout)(y, deterministic=not train)

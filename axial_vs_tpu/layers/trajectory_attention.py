@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.act import gelu
+
 from ..ops.norm import LayerNorm
 
 
@@ -175,7 +177,7 @@ class TemporalAxialTrajectoryAttentionLayer(nn.Module):
 
         x = LayerNorm(features=self.d_model, epsilon=1e-5, name="norm1")(x)
         y = _dense(self.d_ffn, self.d_model, "linear1", self.dtype)(x)
-        y = nn.relu(y) if self.activation == "relu" else nn.gelu(y, approximate=False)
+        y = nn.relu(y) if self.activation == "relu" else gelu(y)
         y = _dense(self.d_model, self.d_ffn, "linear2", self.dtype)(y)
         x = LayerNorm(features=self.d_model, epsilon=1e-5, name="norm2")(x + y)
         return x, h_attn, w_attn
@@ -210,7 +212,7 @@ class TemporalTrajectoryAttentionLayer(nn.Module):
         x = (x + out).reshape(b * t, hw, c)
         x = LayerNorm(features=self.d_model, epsilon=1e-5, name="norm1")(x)
         y = _dense(self.d_ffn, self.d_model, "linear1", self.dtype)(x)
-        y = nn.relu(y) if self.activation == "relu" else nn.gelu(y, approximate=False)
+        y = nn.relu(y) if self.activation == "relu" else gelu(y)
         y = _dense(self.d_model, self.d_ffn, "linear2", self.dtype)(y)
         x = LayerNorm(features=self.d_model, epsilon=1e-5, name="norm2")(x + y)
         return x, None, None

@@ -17,6 +17,8 @@ import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.act import gelu
+
 from ...ops.init import trunc_normal
 from ...ops.norm import LayerNorm
 from ...layers.convbn import DropPath
@@ -89,7 +91,7 @@ class ConvNeXtBlock(nn.Module):
             4 * self.dim, kernel_init=trunc_normal(std=0.02),
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="pwconv1",
         )(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         if self.use_grn:
             y = GRN(4 * self.dim, name="grn")(y)
         y = nn.Dense(

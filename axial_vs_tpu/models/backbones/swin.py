@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.act import gelu
+
 from ...layers.convbn import DropPath
 from ...ops.init import trunc_normal
 from ...ops.norm import LayerNorm
@@ -143,7 +145,7 @@ class SwinBlock(nn.Module):
         y = LayerNorm(features=c, epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), kernel_init=trunc_normal(0.02),
                      dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dense(c, kernel_init=trunc_normal(0.02), dtype=self.dtype,
                      name="mlp_fc2")(y)
         return x + DropPath(self.drop_path_prob, name="drop_path2")(

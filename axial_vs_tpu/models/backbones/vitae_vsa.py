@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.act import gelu
+
 from ...layers.convbn import DropPath
 from ...ops.grid_sample import grid_sample_bilinear
 from ...ops.init import trunc_normal
@@ -64,7 +66,7 @@ class PRM(nn.Module):
                 kernel_init=trunc_normal(0.02), dtype=self.dtype,
                 name=f"conv{j}",
             )(x)
-            outs.append(nn.gelu(y, approximate=False))
+            outs.append(gelu(y))
         return jnp.concatenate(outs, axis=-1)
 
 
@@ -103,7 +105,7 @@ class Mlp(nn.Module):
     def __call__(self, x):
         x = nn.Dense(self.hidden, kernel_init=trunc_normal(0.02),
                      dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         return nn.Dense(self.out, kernel_init=trunc_normal(0.02),
                         dtype=self.dtype, name="fc2")(x)
 

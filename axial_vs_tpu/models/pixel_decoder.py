@@ -17,6 +17,8 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.act import gelu
+
 from ..layers.axial_attention import AxialAttention2D
 from ..layers.convbn import ConvBN, DropPath
 from ..ops.norm import LayerNorm
@@ -37,7 +39,7 @@ class SingleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         shortcut = x
         if x.shape[-1] != self.filter_list[-1]:
             shortcut = ConvBN(
@@ -55,7 +57,7 @@ class SingleBlock(nn.Module):
                 key_expansion=self.key_expansion, value_expansion=self.value_expansion,
                 num_heads=self.num_heads, dtype=self.dtype, name="attention",
             )(y, train=train)
-            y = nn.gelu(y, approximate=False)
+            y = gelu(y)
         elif self.block_type == "bottleneck":
             y = ConvBN(
                 self.filter_list[1], kernel_size=3, padding=1, use_bias=False,
@@ -113,7 +115,7 @@ class ResizedFuse(nn.Module):
     def __call__(self, lowres_x, highres_x, train: bool = False):
         align_corners = lowres_x.shape[-2] % 2 == 1
         if lowres_x.shape[-1] != self.out_channels:
-            lowres_x = nn.gelu(lowres_x, approximate=False)
+            lowres_x = gelu(lowres_x)
             lowres_x = ConvBN(
                 self.out_channels, kernel_size=1, use_bias=False, norm="syncbn",
                 act=None, dtype=self.dtype, name="conv_bn_low",
@@ -122,7 +124,7 @@ class ResizedFuse(nn.Module):
             lowres_x, highres_x.shape[-3:-1], align_corners=align_corners
         )
         if highres_x.shape[-1] != self.out_channels:
-            highres_x = nn.gelu(highres_x, approximate=False)
+            highres_x = gelu(highres_x)
             highres_x = ConvBN(
                 self.out_channels, kernel_size=1, use_bias=False, norm="syncbn",
                 act=None, dtype=self.dtype, name="conv_bn_high",

@@ -50,10 +50,20 @@ def uncertainty_point_idx(rng, mask_logits, num_points, oversample=3.0,
 
 
 class TubeLinkCriterion:
+    """``stuff_fixed=True`` reproduces the reference's "no-stuff-match" VPS
+    heads (`models/video/tube_link_vps/mask2former_video_head_custom_no_stuff_match.py:191-193`):
+    queries [0, Q-num_stuff) are Hungarian-matched against THING GTs only,
+    and stuff class k is pinned to query slot Q-num_stuff+k (dense targets,
+    no assignment). ``loss_split=True`` additionally emits separate
+    thing_/stuff_ loss keys (ref ``loss_split_thing_stuff`` :696-751,
+    enabled by `configs/video/vipseg/vipseg_tb_r50_8e.py:33-40`)."""
+
     def __init__(self, num_things, num_stuff=0, cls_weight=2.0, mask_weight=5.0,
                  dice_weight=5.0, bg_cls_weight=0.1, num_points=12544,
                  oversample=3.0, importance=0.75, match_points=12544,
-                 exact_matching=True):
+                 exact_matching=True, stuff_fixed=False, loss_split=False):
+        self.num_things = num_things
+        self.num_stuff = num_stuff
         self.num_classes = num_things + num_stuff
         self.cls_weight = cls_weight
         self.mask_weight = mask_weight
@@ -64,6 +74,8 @@ class TubeLinkCriterion:
         self.importance = importance
         self.match_points = match_points
         self.exact_matching = exact_matching
+        self.stuff_fixed = stuff_fixed and num_stuff > 0
+        self.loss_split = loss_split
 
     def _match(self, rng, cls_pred, masks_flat, gt_flat, gt_labels, valid):
         """cls_pred (B,Q,K+1); masks_flat (B,Q,S); gt_flat (B,M,S)."""
@@ -98,7 +110,59 @@ class TubeLinkCriterion:
         cost = jnp.where(valid[:, None, :], cost, 0.0)
         return hungarian_assign(cost, valid, exact=self.exact_matching)
 
-    def _layer_loss(self, rng, cls_pred, mask_pred, targets):
+    def _stuff_dense_loss(self, rng, cls_pred, masks_flat, gt_flat, labels,
+                          valid):
+        """Pinned stuff slots (no assignment): stuff class k is predicted by
+        the k-th of the LAST num_stuff queries. Returns separate loss dict.
+
+        cls_pred (B, Q, K+1); masks_flat (B, Q, S); gt_flat (B, M, S)."""
+        b, q, s = masks_flat.shape
+        ns = self.num_stuff
+        stuff_slots = masks_flat[:, q - ns:]           # (B, ns, S)
+        stuff_cls = cls_pred[:, q - ns:]               # (B, ns, K+1)
+
+        # scatter GT tubes onto their fixed class slot
+        onehot = (
+            (labels[:, :, None] - self.num_things
+             == jnp.arange(ns)[None, None, :])
+            & valid[:, :, None]
+            & (labels[:, :, None] >= self.num_things)
+        )  # (B, M, ns)
+        present = jnp.any(onehot, axis=1)              # (B, ns)
+        stuff_gt = jnp.einsum(
+            "bmk,bms->bks", onehot.astype(jnp.float32), gt_flat)
+        stuff_gt = jnp.minimum(stuff_gt, 1.0)
+
+        # classification: present slots -> their class id, absent -> bg
+        tgt = jnp.where(
+            present, jnp.arange(ns)[None, :] + self.num_things,
+            self.num_classes,
+        )
+        logp = jax.nn.log_softmax(stuff_cls.astype(jnp.float32), -1)
+        ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        cls_w = jnp.where(tgt == self.num_classes, self.bg_cls_weight, 1.0)
+        loss_cls = jnp.sum(ce * cls_w) / jnp.maximum(jnp.sum(cls_w), 1.0)
+
+        num_pos = jnp.maximum(jnp.sum(present), 1.0)
+        pts = uncertainty_point_idx(
+            rng, stuff_slots.reshape(-1, s), min(self.num_points, s),
+            self.oversample, self.importance,
+        ).reshape(b, ns, -1)
+        pp = jnp.take_along_axis(stuff_slots, pts, axis=2).astype(jnp.float32)
+        gp = jnp.take_along_axis(stuff_gt, pts, axis=2)
+        vm = present[:, :, None]
+        bce = jnp.where(vm, jax.nn.softplus(jnp.where(gp > 0, -pp, pp)), 0.0)
+        loss_mask = jnp.sum(bce) / (num_pos * pp.shape[-1])
+        dice = _dice_loss(jax.nn.sigmoid(pp), gp)
+        loss_dice = jnp.sum(jnp.where(present, dice, 0.0)) / num_pos
+        return {
+            "loss_cls": self.cls_weight * loss_cls,
+            "loss_mask": self.mask_weight * loss_mask,
+            "loss_dice": self.dice_weight * loss_dice,
+        }
+
+    def _layer_loss(self, rng, cls_pred, mask_pred, targets,
+                    return_assign=False):
         """mask_pred (B, T, Q, H, W); targets: labels (B,M), masks
         (B,M,T,H,W), valid (B,M)."""
         b, t, q, h, w = mask_pred.shape
@@ -108,7 +172,37 @@ class TubeLinkCriterion:
         valid = targets["valid"]
         labels = targets["labels"]
 
+        if self.stuff_fixed:
+            # things: Hungarian over the first Q-num_stuff slots x thing GTs;
+            # stuff: dense fixed-slot targets (separate loss terms)
+            r1, r2, r3 = jax.random.split(rng, 3)
+            q_th = q - self.num_stuff
+            thing_valid = valid & (labels < self.num_things)
+            th = self._layer_loss_matched(
+                r1, r2, cls_pred[:, :q_th], masks_flat[:, :q_th], gt_flat,
+                labels, thing_valid, return_assign=return_assign,
+            )
+            if return_assign:
+                th, assign = th
+            st = self._stuff_dense_loss(
+                r3, cls_pred, masks_flat, gt_flat, labels, valid)
+            if self.loss_split:
+                out = {f"thing_{k}": v for k, v in th.items()}
+                out.update({f"stuff_{k}": v for k, v in st.items()})
+            else:
+                out = {k: th[k] + st[k] for k in th}
+            return (out, assign) if return_assign else out
+
         r1, r2 = jax.random.split(rng)
+        out = self._layer_loss_matched(
+            r1, r2, cls_pred, masks_flat, gt_flat, labels, valid,
+            return_assign=return_assign,
+        )
+        return out
+
+    def _layer_loss_matched(self, r1, r2, cls_pred, masks_flat, gt_flat,
+                            labels, valid, return_assign=False):
+        b, q, _ = masks_flat.shape
         assign = self._match(r1, cls_pred, masks_flat, gt_flat, labels, valid)
         safe = jnp.clip(assign, 0)
         batch_idx = jnp.arange(b)[:, None]
@@ -139,24 +233,37 @@ class TubeLinkCriterion:
         loss_mask = jnp.sum(bce) / (num_gt * pp.shape[-1])
         dice = _dice_loss(jax.nn.sigmoid(pp), gp)
         loss_dice = jnp.sum(jnp.where(valid, dice, 0.0)) / num_gt
-        return {
+        out = {
             "loss_cls": self.cls_weight * loss_cls,
             "loss_mask": self.mask_weight * loss_mask,
             "loss_dice": self.dice_weight * loss_dice,
         }
+        return (out, assign) if return_assign else out
 
-    def __call__(self, rng, outputs, targets):
+    def __call__(self, rng, outputs, targets, return_assign=False):
+        """return_assign=True additionally returns the LAST layer's thing
+        assignment (B, M) — query slot per GT, -1 unmatched — used by the
+        VPS key/ref contrastive track loss (vps.py)."""
         losses = {}
+        last_assign = None
         n_layers = len(outputs["cls_preds"])
         for i, (cls_pred, mask_pred) in enumerate(
             zip(outputs["cls_preds"], outputs["mask_preds"])
         ):
             rng, sub = jax.random.split(rng)
-            l = self._layer_loss(sub, cls_pred, mask_pred, targets)
-            if i == n_layers - 1:
+            is_last = i == n_layers - 1
+            l = self._layer_loss(
+                sub, cls_pred, mask_pred, targets,
+                return_assign=return_assign and is_last,
+            )
+            if return_assign and is_last:
+                l, last_assign = l
+            if is_last:
                 losses.update(l)
             else:
                 losses.update({f"d{i}.{k}": v for k, v in l.items()})
+        if return_assign:
+            return losses, last_assign
         return losses
 
     def total(self, losses):

@@ -125,13 +125,99 @@ class TubeLinkVPS(nn.Module):
         linked = ThingQueryLink(
             embed_dim=query.shape[-1], dtype=self.dtype, name="thing_link"
         )(thing_query, pre_thing_query)
-        track_embeds = TrackEmbedHead(
+        embed_head = TrackEmbedHead(
             embed_dim=query.shape[-1], dtype=self.dtype, name="track_head"
-        )(linked)
-
+        )
         head_out["thing_query"] = linked
-        head_out["track_embeds"] = track_embeds
+        head_out["thing_query_raw"] = thing_query
+        head_out["track_embeds"] = embed_head(linked)
+        # ref-tube side of the contrastive loss embeds UNLINKED queries
+        # (ref `tube_link_vps.py:419-429`: ref_emb skips link_thing_query)
+        head_out["track_embeds_raw"] = embed_head(thing_query)
         return head_out
+
+
+def tube_link_vps_train_losses(module, variables, rng, batch, criterion,
+                               track_temperature: float = 1.0,
+                               track_weight: float = 1.0,
+                               track_aux_weight: float = 1.0):
+    """The reference's key/ref tube training step
+    (`tube_link_vps.py:197-445`), static-shaped for TPU:
+
+    - the sampled tube is split into a key tube and a ref tube (done by the
+      data pipeline here — batch carries both);
+    - BOTH tubes run the full head with shared params; ref-tube losses are
+      suffixed ``_ref`` (ref ``add_ref_loss`` :155-159);
+    - key thing queries are linked against the ref tube's
+      (``link_thing_query``), then the contrastive track loss pulls
+      embeddings of queries assigned to the same ``instance_id`` together
+      (multi-positive bisoftmax, `tracker/qdtrack` losses) plus the qdtrack
+      L2 auxiliary loss on cosine similarities.
+
+    batch: {"key": {"images", "targets"}, "ref": {"images", "targets"}} with
+    targets additionally carrying "instance_ids" (B, M) int (-1 = none/stuff).
+    Returns (losses dict, total scalar, new_batch_stats) — BN running stats
+    are updated by both passes (ref first, like the reference's two
+    sequential forward_train calls).
+    """
+    key, ref = batch["key"], batch["ref"]
+    r_key, r_ref = jax.random.split(rng)
+
+    out_ref, mut = module.apply(
+        variables, ref["images"], pre_thing_query=None, train=True,
+        rngs={"dropout": r_ref}, mutable=["batch_stats"])
+    variables = {**variables, **mut}
+    out_key, mut = module.apply(
+        variables, key["images"],
+        pre_thing_query=out_ref["thing_query_raw"],
+        train=True, rngs={"dropout": r_key}, mutable=["batch_stats"])
+    new_batch_stats = mut.get("batch_stats", {})
+
+    losses, key_assign = criterion(
+        r_key, out_key, key["targets"], return_assign=True)
+    ref_losses, ref_assign = criterion(
+        r_ref, out_ref, ref["targets"], return_assign=True)
+    losses.update({f"{k}_ref": v for k, v in ref_losses.items()})
+
+    # ---- contrastive track loss over per-GT matched thing queries --------
+    def one_video(key_emb, ref_emb, ka, ra, kt, rt):
+        k_valid = (kt["valid"] & (kt["labels"] < module.num_things_classes)
+                   & (ka >= 0))
+        r_valid = (rt["valid"] & (rt["labels"] < module.num_things_classes)
+                   & (ra >= 0))
+        ke = key_emb[jnp.clip(ka, 0)]  # (M, C)
+        re = ref_emb[jnp.clip(ra, 0)]
+        match = (
+            (kt["instance_ids"][:, None] == rt["instance_ids"][None, :])
+            & (kt["instance_ids"][:, None] >= 0)
+            & k_valid[:, None] & r_valid[None, :]
+        )
+        logits = (ke @ re.T) / track_temperature
+        logits = jnp.where(r_valid[None, :], logits, -1e9)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        pos = match.astype(jnp.float32)
+        has_pos = jnp.sum(pos, -1) > 0
+        loss = -jnp.sum(pos * logp, -1) / jnp.maximum(jnp.sum(pos, -1), 1.0)
+        loss_track = jnp.sum(jnp.where(has_pos, loss, 0.0)) / jnp.maximum(
+            jnp.sum(has_pos), 1.0)
+        # qdtrack L2 auxiliary: cosine similarities should match the
+        # (normalized-count) match targets (tracker/qdtrack/losses l2_loss)
+        kn = ke / jnp.maximum(jnp.linalg.norm(ke, axis=-1, keepdims=True), 1e-6)
+        rn = re / jnp.maximum(jnp.linalg.norm(re, axis=-1, keepdims=True), 1e-6)
+        cos = kn @ rn.T
+        pair_valid = (k_valid[:, None] & r_valid[None, :]).astype(jnp.float32)
+        aux = jnp.sum(jnp.square(cos - pos) * pair_valid) / jnp.maximum(
+            jnp.sum(pair_valid), 1.0)
+        return loss_track, aux
+
+    loss_track, loss_aux = jax.vmap(one_video)(
+        out_key["track_embeds"], out_ref["track_embeds_raw"],
+        key_assign, ref_assign, key["targets"], ref["targets"],
+    )
+    losses["loss_track"] = track_weight * jnp.mean(loss_track)
+    losses["loss_track_aux"] = track_aux_weight * jnp.mean(loss_aux)
+    total = sum(losses.values())
+    return losses, total, new_batch_stats
 
 
 def stuff_fixed_assignment(num_thing_queries, num_stuff_classes, num_things_classes):

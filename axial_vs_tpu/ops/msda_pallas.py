@@ -67,6 +67,59 @@ def weighted_corner_reduce(g, w, block_rows: int = 256):
     )(g, w)
 
 
+def _multi_kernel(w_ref, *refs, d: int, n: int):
+    """refs = (g_0..g_{n-1}, out). Each g (BLK, 4*D); w (BLK, N*4).
+    out[r, :] = sum_si sum_k g_si[r, k*D:(k+1)*D] * w[r, si*4+k]."""
+    g_refs, out_ref = refs[:n], refs[n]
+    blk = out_ref.shape[0]
+    # arithmetic 0/1 corner masks (loop-invariant): an i1 where-mask built
+    # from a lane iota trips a Mosaic relayout ("non-singleton dim
+    # replicated in destination"), multiplies do not
+    grp = jax.lax.broadcasted_iota(jnp.int32, (blk, 4 * d), 1) // d
+    masks = [(grp == k).astype(g_refs[0].dtype) for k in range(4)]
+    w = w_ref[...]
+    acc = jnp.zeros((blk, 4 * d), jnp.float32)
+    for si in range(n):
+        g = g_refs[si][...]
+        ws = w[:, si * 4:(si + 1) * 4]
+        w128 = (ws[:, 0:1] * masks[0] + ws[:, 1:2] * masks[1]
+                + ws[:, 2:3] * masks[2] + ws[:, 3:4] * masks[3])
+        acc = acc + (g * w128).astype(jnp.float32)
+    out_ref[...] = (
+        acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+        + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d]
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def weighted_corner_reduce_multi(gs, w, block_rows: int = 1024):
+    """gs: list of N (R, 4*D) gathered corner rows; w: (R, N*4) lane-packed
+    slot weights -> (R, D). Reads each g exactly once; the weight expansion
+    (4 sublane splats + 3 lane-range selects) happens in VMEM."""
+    n = len(gs)
+    r, d4 = gs[0].shape
+    d = d4 // 4
+    assert w.shape == (r, n * 4), (w.shape, r, n)
+    pad = (-r) % block_rows
+    if pad:
+        gs = [jnp.pad(g, ((0, pad), (0, 0))) for g in gs]
+        w = jnp.pad(w, ((0, pad), (0, 0)))
+    rp = r + pad
+    grid = (rp // block_rows,)
+    out = pl.pallas_call(
+        functools.partial(_multi_kernel, d=d, n=n),
+        out_shape=jax.ShapeDtypeStruct((rp, d), gs[0].dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((block_rows, n * 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((block_rows, d4), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM) for _ in range(n)],
+        out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(w, *gs)
+    return out[:r]
+
+
 def weighted_corner_reduce_ref(g, w):
     """Pure-jnp reference for tests. w (R, S*4)."""
     r, s, d4 = g.shape

