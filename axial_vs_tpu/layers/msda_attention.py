@@ -69,7 +69,8 @@ class MSDeformAttn(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, query, input_flatten, spatial_shapes, reference_points=None):
+    def __call__(self, query, input_flatten, spatial_shapes, reference_points=None,
+                 train: bool = False):
         # query/input_flatten: (B, S, C); spatial_shapes static ((H,W),...)
         b, lq, _ = query.shape
         m, L, p = self.n_heads, self.n_levels, self.n_points
@@ -114,7 +115,8 @@ class MSDeformAttn(nn.Module):
         # matmul) and measured SLOWER on v5e (+3 ms/layer: XLA relayouts
         # the operand anyway and loses the efficient Dense form) — keep the
         # explicit transpose + Dense.
-        out = ms_deform_attn(value, spatial_shapes, locations, weights)
+        out = ms_deform_attn(value, spatial_shapes, locations, weights,
+                             pallas_reduce=not train)
         return _dense(self.d_model, self.d_model, "output_proj", self.dtype)(out)
 
 
@@ -136,7 +138,7 @@ class MSDeformAttnEncoderLayer(nn.Module):
         attn = MSDeformAttn(
             d_model=self.d_model, n_levels=self.n_levels, n_heads=self.n_heads,
             n_points=self.n_points, dtype=self.dtype, name="self_attn",
-        )(src + pos.astype(src.dtype), src, spatial_shapes)
+        )(src + pos.astype(src.dtype), src, spatial_shapes, train=train)
         attn = nn.Dropout(self.dropout)(attn, deterministic=not train)
         src = LayerNorm(features=self.d_model, epsilon=1e-5, name="norm1")(src + attn)
 

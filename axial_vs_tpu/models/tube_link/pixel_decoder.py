@@ -78,7 +78,8 @@ class FusedMSDATrajectoryAttention(nn.Module):
             ref[:, :, None, :, None, :]
             + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
         )
-        out = ms_deform_attn(value, spatial_shapes, locations, weights)
+        out = ms_deform_attn(value, spatial_shapes, locations, weights,
+                             pallas_reduce=not train)
 
         if self.use_temporal:
             gamma = self.param(

@@ -32,6 +32,7 @@ def ms_deform_attn(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     head_major_out: bool = False,
+    pallas_reduce: bool = False,
 ) -> jnp.ndarray:
     """Args:
       value: (B, S, M, D) — levels flattened along S (sum of H*W, row-major).
@@ -130,25 +131,29 @@ def ms_deform_attn(
     import os
 
     if (
-        os.environ.get("AXIALVS_MSDA_PALLAS") == "1"
+        pallas_reduce
         and jax.default_backend() == "tpu"
-        and d % 8 == 0
+        and (4 * d) % 128 == 0
+        and os.environ.get("AXIALVS_MSDA_NO_PALLAS") != "1"
     ):
-        # fused Pallas reduction over the materialized gather output
-        # (one gather, VMEM-blocked reduce) — experimental alternative to
-        # the sample-loop path below; benchmark with tools/bench_msda.py
-        from .msda_pallas import weighted_corner_reduce
+        # inference fast path (v4, tools/bench_msda.py: 10.8 vs 14.4
+        # ms/layer at VIPSeg scale): the 12 row gathers materialize as
+        # kCustom fusions either way; ONE Pallas kernel then reads each
+        # gathered array exactly once and applies the 4-slot weights via an
+        # MXU expansion — the XLA path instead spends ~2 extra passes on
+        # per-sample weight-broadcast fusions. Not differentiable (no VJP
+        # registered): callers pass pallas_reduce=not train.
+        from .msda_pallas import weighted_corner_reduce_v4
 
-        g = flat.at[idx.reshape(-1)].get(
-            mode="promise_in_bounds"
-        ).reshape(rows, n_samples, 4 * d)
-        w = wgt.reshape(rows, n_samples * 4)
-        block = int(os.environ.get("AXIALVS_MSDA_PALLAS_BLOCK", "256"))
-        pad = (-rows) % block
-        if pad:
-            g = jnp.pad(g, ((0, pad), (0, 0), (0, 0)))
-            w = jnp.pad(w, ((0, pad), (0, 0)))
-        out = weighted_corner_reduce(g, w, block_rows=block)[:rows]
+        idx_s = idx.reshape(rows, n_samples)
+        gs = [flat.at[idx_s[:, si]].get(mode="promise_in_bounds")
+              for si in range(n_samples)]
+        out = weighted_corner_reduce_v4(gs, wgt.reshape(rows, n_samples * 4))
+        out = out.reshape(b, m, lq, d)
+        if head_major_out:
+            return out.astype(value.dtype)
+        return out.transpose(0, 2, 1, 3).reshape(b, lq, m * d).astype(
+            value.dtype)
     else:
         # ONE gather per sampling point, fused multiply-accumulate: XLA
         # fuses each 88MB row-gather into the accumulation so the

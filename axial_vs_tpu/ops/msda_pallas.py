@@ -19,52 +19,11 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-
-def _kernel(g_ref, w_ref, out_ref, *, d: int, s: int):
-    g = g_ref[...]            # (BLK, S, 4*D)
-    w = w_ref[...]            # (BLK, S*4)
-    # lane-expand the 4 slot weights to 4*D lanes with a tiny 0/1 matmul
-    # (slice-and-broadcast per corner blows the scoped-VMEM budget)
-    col = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * d), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * d), 0)
-    e = (col // d == row).astype(jnp.float32)
-    acc = jnp.zeros((g.shape[0], 4 * d), jnp.float32)
-    for si in range(s):
-        wr = jnp.dot(w[:, si * 4:(si + 1) * 4].astype(jnp.float32), e)
-        acc = acc + g[:, si].astype(jnp.float32) * wr
-    out_ref[...] = (
-        acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
-        + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d]
-    ).astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("block_rows",))
-def weighted_corner_reduce(g, w, block_rows: int = 256):
-    """g (R, S, 4*D); w (R, S*4) -> (R, D). R must divide by block_rows
-    (caller pads)."""
-    r, s, d4 = g.shape
-    d = d4 // 4
-    assert r % block_rows == 0, (r, block_rows)
-    assert w.shape == (r, s * 4), (w.shape, r, s)
-    grid = (r // block_rows,)
-    return pl.pallas_call(
-        functools.partial(_kernel, d=d, s=s),
-        out_shape=jax.ShapeDtypeStruct((r, d), g.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_rows, s, d4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, s * 4), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )(g, w)
 
 
 def _multi_kernel(w_ref, *refs, d: int, n: int):
@@ -118,6 +77,59 @@ def weighted_corner_reduce_multi(gs, w, block_rows: int = 1024):
                                memory_space=pltpu.VMEM),
     )(w, *gs)
     return out[:r]
+
+
+def _v4_kernel(e_ref, w_ref, *refs, d: int, n: int):
+    """Lean reduce: weight expansion on the MXU (one (BLK,4n)@(4n,n*4d)
+    dot against a constant 0/1 matrix), then n fused FMAs + corner fold."""
+    g_refs, out_ref = refs[:n], refs[n]
+    wall = jax.lax.dot_general(
+        w_ref[...], e_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLK, n*4d)
+    acc = jnp.zeros((out_ref.shape[0], 4 * d), jnp.float32)
+    for si in range(n):
+        acc = acc + g_refs[si][...].astype(jnp.float32) * wall[
+            :, si * 4 * d:(si + 1) * 4 * d]
+    out_ref[...] = (
+        acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+        + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d]
+    ).astype(out_ref.dtype)
+
+
+def _v4_expand_matrix(n: int, d: int):
+    """(n*4, n*4d) 0/1 bf16: weight (si, k) -> lanes [si*4d+k*d, +d)."""
+    e = np.zeros((n * 4, n * 4 * d), np.float32)
+    for si in range(n):
+        for k in range(4):
+            lo = si * 4 * d + k * d
+            e[si * 4 + k, lo:lo + d] = 1.0
+    return jnp.asarray(e, jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def weighted_corner_reduce_v4(gs, w, block_rows: int = 512):
+    """gs: list of N (R, 4*D) gathered corner rows; w (R, N*4) lane-packed
+    slot weights -> (R, D) f32->gs dtype. Handles non-dividing R via the
+    Pallas edge-block padding (no host-side jnp.pad copies)."""
+    n = len(gs)
+    r, d4 = gs[0].shape
+    d = d4 // 4
+    e = _v4_expand_matrix(n, d)
+    grid = (pl.cdiv(r, block_rows),)
+    return pl.pallas_call(
+        functools.partial(_v4_kernel, d=d, n=n),
+        out_shape=jax.ShapeDtypeStruct((r, d), gs[0].dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n * 4, n * 4 * d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((block_rows, n * 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((block_rows, d4), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM) for _ in range(n)],
+        out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(e, w.astype(jnp.bfloat16), *gs)
 
 
 def weighted_corner_reduce_ref(g, w):

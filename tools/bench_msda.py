@@ -503,6 +503,47 @@ VARIANTS["wselect_barrier"] = variant_wselect_barrier
 VARIANTS["pallas_v3"] = variant_pallas_v3
 
 
+def variant_giant_gather_only(value, loc, aw):
+    """Probe: ONE gather of all rows*12 samples (materializes 1.06GB once),
+    then an unweighted slice-sum (timing floor for gather-then-reduce)."""
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    flat, idx, wgt = _prep(value, loc, aw)
+    rows = b * m * lq
+    n = idx.shape[-1]
+    g = flat.at[idx.reshape(-1)].get(mode="promise_in_bounds")
+    g = g.reshape(rows, n * 4 * d)
+    acc = jnp.zeros((rows, 4 * d), value.dtype)
+    for si in range(n):
+        acc = acc + g[:, si * 4 * d:(si + 1) * 4 * d]
+    out = (acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+           + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d])
+    out = out.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
+
+
+def variant_pallas_v4(value, loc, aw):
+    """Round-2 candidate: 12 XLA gathers (materialize regardless) + ONE lean
+    Pallas reduce whose 4-slot weight expansion rides the MXU."""
+    from axial_vs_tpu.ops.msda_pallas import weighted_corner_reduce_v4
+
+    b, s, m, d = value.shape
+    lq = loc.shape[1]
+    flat, idx, wgt = _prep(value, loc, aw)
+    rows = b * m * lq
+    n = idx.shape[-1]
+    idx = idx.reshape(rows, n)
+    gs = [flat.at[idx[:, si]].get(mode="promise_in_bounds")
+          for si in range(n)]
+    out = weighted_corner_reduce_v4(gs, wgt.reshape(rows, n * 4))
+    out = out.reshape(b, m, lq, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, lq, m * d).astype(value.dtype)
+
+
+VARIANTS["giant_gather_only"] = variant_giant_gather_only
+VARIANTS["pallas_v4"] = variant_pallas_v4
+
+
 def _dump_hlo(names):
     """--dump-hlo: print fusion count + large-buffer stats per variant."""
     import re as _re
