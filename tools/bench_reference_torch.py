@@ -181,7 +181,9 @@ def build_pipeline(backbone: str, image_size=(769, 1345)):
     )
     transdec = td_mod.MaXTronTransformerDecoder(
         dec_layers=[2, 2, 2],
-        in_channels=[dims["res5"], dims["res4"], dims["res3"]],
+        # pixel-decoder stage outputs (512*4, 256*4, 128*4) — same for all
+        # backbones (configs/VIPSeg/.../maxtron_wc_convnext_large.yaml:69)
+        in_channels=[2048, 1024, 512],
         num_classes=124,
         num_queries=128,
         drop_path_prob=0.0,
