@@ -229,17 +229,38 @@ def stuff_fixed_assignment(num_thing_queries, num_stuff_classes, num_things_clas
 
 
 class TubeLinkVPSInference:
-    """Window-streamed VPS: per-window tube inference + quasi-dense re-ID."""
+    """Window-streamed VPS: per-window tube inference, ``with_query``-family
+    panoptic fusion, and ``match_panoptic`` id-carry across windows.
+
+    Mirrors the reference's VPS test path: per-frame fusion returns
+    (pan_map, [(query_index, pan_id)]) (`maskformer_fusion_head.py:99-167`,
+    mode per `configs/video/vipseg/vipseg_tb_r50_8e.py:130`), then
+    `tube_link_vps.py:556-` unions the window's thing queries, embeds them
+    through the track head, matches against tracker memory and rewrites
+    each frame's pan ids to ``cls + (track_id + 1) * INSTANCE_OFFSET``
+    (untracked segments fall to instance id 0; stuff ids are plain class
+    ids and merge across windows by construction).
+    """
 
     def __init__(self, module, variables, *, clip_len, num_things_classes,
-                 num_stuff_classes, label_divisor=10000, score_thr=0.3):
+                 num_stuff_classes, label_divisor=None, score_thr=0.3,
+                 panoptic_mode="with_query", object_mask_thr=None,
+                 iou_thr=0.8):
+        from .fusion import INSTANCE_OFFSET
+
         self.module = module
         self.variables = variables
         self.clip_len = clip_len
         self.num_things = num_things_classes
         self.num_stuff = num_stuff_classes
-        self.label_divisor = label_divisor
+        self.num_classes = num_things_classes + num_stuff_classes
+        self.label_divisor = label_divisor or INSTANCE_OFFSET
         self.score_thr = score_thr
+        self.panoptic_mode = panoptic_mode
+        self.object_mask_thr = (
+            object_mask_thr if object_mask_thr is not None
+            else (0.3 if panoptic_mode == "sort_with_query" else 0.8))
+        self.iou_thr = iou_thr
         self.tracker = QuasiDenseEmbedTracker()
         self._pre_thing_query = None
 
@@ -262,8 +283,11 @@ class TubeLinkVPSInference:
         self._pre_thing_query = None
 
     def process_window(self, images: np.ndarray, frame_id: int):
-        """images (T, H, W, 3) -> (T, h, w) panoptic id maps
-        (thing: cat*divisor + track_id, stuff: cat)."""
+        """images (T, H, W, 3) -> (T, h, w) panoptic id maps in the
+        reference convention: void = num_classes, stuff = class id, thing
+        = class + (track_id + 1) * label_divisor (untracked -> inst 0)."""
+        from .fusion import panoptic_fusion
+
         pre = self._pre_thing_query
         if pre is None:
             pre = jnp.zeros((1, 0, 256), jnp.float32)
@@ -272,43 +296,44 @@ class TubeLinkVPSInference:
         )
         self._pre_thing_query = thing_query
 
-        cls_prob = np.asarray(jax.nn.softmax(cls_logits, -1))[:, :-1]
-        masks = np.asarray(masks)  # (T, Q, h, w)
-        embeds = np.asarray(embeds)
+        cls_logits = np.asarray(cls_logits, np.float32)  # (Q, K+1)
+        masks = np.asarray(masks, np.float32)            # (T, Q, h, w)
+        embeds = np.asarray(embeds, np.float32)          # (Q_thing, C)
         t, q, h, w = masks.shape
+        off = self.label_divisor
+        n_thing_q = embeds.shape[0]
 
-        scores = cls_prob.max(-1)
-        labels = cls_prob.argmax(-1)
-        # per-pixel argmax fusion over confident queries
-        keep = scores > self.score_thr
-        seg = np.zeros((t, h, w), np.int64)
-        fused = masks.transpose(0, 2, 3, 1)  # (T, h, w, Q)
-        fused = np.where(keep[None, None, None, :], fused, -1e9)
-        best = fused.argmax(-1)  # (T, h, w)
-        valid_pixel = fused.max(-1) > 0
-
-        nt = self.num_things
-        thing_slots = np.flatnonzero(keep[: q - self.num_stuff] if self.num_stuff
-                                     else keep)
-        thing_slots = [s for s in thing_slots if labels[s] < nt]
-        track_ids = (
-            self.tracker.match(
-                embeds[thing_slots], labels[np.asarray(thing_slots, int)],
-                scores[np.asarray(thing_slots, int)], frame_id,
+        # per-frame fusion with per-segment query indices
+        pans, qlists = [], []
+        for ti in range(t):
+            pan, qlist = panoptic_fusion(
+                self.panoptic_mode, cls_logits, masks[ti],
+                self.num_things, self.num_classes,
+                object_mask_thr=self.object_mask_thr, iou_thr=self.iou_thr,
             )
-            if thing_slots
-            else np.zeros(0, np.int64)
-        )
-        slot_to_id = {}
-        for s, tid in zip(thing_slots, track_ids):
-            if tid >= 0:
-                slot_to_id[s] = (labels[s] + 1) * self.label_divisor + tid + 1
-        for s in range(q):
-            if keep[s] and labels[s] >= nt:
-                slot_to_id.setdefault(s, labels[s] + 1)
+            pans.append(pan)
+            qlists.append(qlist)
 
-        lut = np.zeros(q, np.int64)
-        for s, pid in slot_to_id.items():
-            lut[s] = pid
-        seg = np.where(valid_pixel, lut[best], 0)
-        return seg
+        # union of the window's thing (query, pan_id) pairs; only thing
+        # query slots carry track embeddings (no-stuff-match head)
+        pairs = sorted({(qi, pid) for ql in qlists for qi, pid in ql
+                        if qi < n_thing_q})
+        if not pairs:
+            return np.stack(pans)
+        clip_query_inds = np.asarray([p[0] for p in pairs], int)
+        clip_pan_ids = np.asarray([p[1] for p in pairs], np.int64)
+        clip_labels = (clip_pan_ids % off).astype(int)
+
+        prob = np.asarray(jax.nn.softmax(jnp.asarray(cls_logits), -1))
+        scores = prob[clip_query_inds, clip_labels]
+        track_ids = self.tracker.match(
+            embeds[clip_query_inds], clip_labels, scores, frame_id)
+
+        # rewrite pan ids: tracked -> cls + (tid + 1) * OFF, untracked -> 0
+        for pan in pans:
+            src = pan.copy()
+            for idx, pid in enumerate(clip_pan_ids):
+                tid = int(track_ids[idx]) if idx < len(track_ids) else -1
+                new_inst = tid + 1 if tid >= 0 else 0
+                pan[src == pid] = clip_labels[idx] + new_inst * off
+        return np.stack(pans)

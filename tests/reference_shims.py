@@ -550,3 +550,60 @@ def load_unitrack():
     multitracker = _load("tracker.unitrack.multitracker",
                          f"{base}/multitracker.py", package="tracker.unitrack")
     return basetrack, matching, multitracker, kalman
+
+
+def load_maskformer_fusion_head():
+    """Reference MaskFormerFusionHead (torch) with mmcv/mmdet runtime
+    stubbed — oracle for the panoptic_mode query variants (T2)."""
+    _install_stubs()
+
+    class BaseModule(torch.nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+
+    if "mmcv" not in sys.modules:
+        sys.modules["mmcv"] = types.ModuleType("mmcv")
+    runner = types.ModuleType("mmcv.runner")
+    runner.BaseModule = BaseModule
+    sys.modules["mmcv.runner"] = runner
+    sys.modules["mmcv"].runner = runner
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            def deco(c):
+                return c
+            return deco
+
+    for name in ("mmdet", "mmdet.core", "mmdet.core.evaluation",
+                 "mmdet.core.mask", "mmdet.models", "mmdet.models.builder",
+                 "mmdet.core.evaluation.panoptic_utils", "fusion_ref"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = []
+            sys.modules[name] = mod
+    sys.modules["mmdet.core.evaluation.panoptic_utils"].INSTANCE_OFFSET = 1000
+    sys.modules["mmdet.core.mask"].mask2bbox = lambda m: torch.zeros(
+        (len(m), 4))
+    sys.modules["mmdet.models.builder"].HEADS = _Reg()
+    sys.modules["mmdet.models.builder"].build_loss = lambda cfg: None
+
+    # package skeleton deep enough for the `from ...builder import` relative
+    for name in ("fr", "fr.models", "fr.models.seg_heads",
+                 "fr.models.seg_heads.panoptic_fusion_heads"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = []
+            sys.modules[name] = mod
+    builder = types.ModuleType("fr.models.builder")
+    builder.build_loss = lambda cfg: None
+    sys.modules["fr.models.builder"] = builder
+    sys.modules["fr.models"].builder = builder
+
+    base_dir = ("/root/reference/MaXTron_Tube-Link/mmdet/models/seg_heads/"
+                "panoptic_fusion_heads")
+    pkg = "fr.models.seg_heads.panoptic_fusion_heads"
+    base = _load(f"{pkg}.base_panoptic_fusion_head",
+                 f"{base_dir}/base_panoptic_fusion_head.py", package=pkg)
+    sys.modules[pkg].base_panoptic_fusion_head = base
+    return _load(f"{pkg}.maskformer_fusion_head",
+                 f"{base_dir}/maskformer_fusion_head.py", package=pkg)

@@ -89,13 +89,25 @@ def test_tube_link_vps_window_stream(rng):
 
     pipeline = TubeLinkVPSInference(
         model, vs, clip_len=t, num_things_classes=3, num_stuff_classes=2,
-        score_thr=0.0,
+        object_mask_thr=0.0, iou_thr=0.0,
     )
     pipeline.init_memory()
-    seg0 = pipeline.process_window(rng.randn(t, 32, 48, 3).astype(np.float32), 0)
+    win = rng.randn(t, 32, 48, 3).astype(np.float32)
+    seg0 = pipeline.process_window(win, 0)
     seg1 = pipeline.process_window(rng.randn(t, 32, 48, 3).astype(np.float32), 1)
     assert seg0.shape == (t, 8, 12)
     assert seg1.shape == (t, 8, 12)
+    # reference id convention: void == num_classes; thing ids decompose as
+    # cls + inst * INSTANCE_OFFSET with cls < num_classes
+    off = pipeline.label_divisor
+    for seg in (seg0, seg1):
+        assert ((seg % off) <= 5).all()
+    # same window replayed with a fresh tracker: identical embeddings must
+    # reproduce the identical id assignment (match_panoptic determinism)
+    pipeline.init_memory()
+    pipeline._pre_thing_query = None
+    seg0b = pipeline.process_window(win, 0)
+    np.testing.assert_array_equal(seg0, seg0b)
 
 
 def test_stdc_vps_recipe_builds_and_runs(rng):
