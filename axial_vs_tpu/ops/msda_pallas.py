@@ -107,8 +107,13 @@ def _v4_expand_matrix(n: int, d: int):
     return jnp.asarray(e, jnp.bfloat16)
 
 
+import os as _os
+
+_V4_BLOCK = int(_os.environ.get("AXIALVS_MSDA_V4_BLOCK", "512"))
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows",))
-def weighted_corner_reduce_v4(gs, w, block_rows: int = 512):
+def weighted_corner_reduce_v4(gs, w, block_rows: int = _V4_BLOCK):
     """gs: list of N (R, 4*D) gathered corner rows; w (R, N*4) lane-packed
     slot weights -> (R, D) f32->gs dtype. Handles non-dividing R via the
     Pallas edge-block padding (no host-side jnp.pad copies)."""

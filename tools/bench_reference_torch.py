@@ -75,22 +75,26 @@ def build_pipeline(backbone: str, image_size=(769, 1345)):
         # (bottleneck, stride in 3x3) inline — timing-only, random init
         import torch.nn as nn
 
+        def BN(c):
+            # reference custom-BN semantics (resnet.py:617): eps=1e-3, m=0.01
+            return nn.BatchNorm2d(c, eps=1e-3, momentum=0.01)
+
         class Bottleneck(nn.Module):
             def __init__(self, cin, mid, cout, stride=1):
                 super().__init__()
                 self.conv1 = nn.Conv2d(cin, mid, 1, bias=False)
-                self.bn1 = nn.BatchNorm2d(mid)
+                self.bn1 = BN(mid)
                 self.conv2 = nn.Conv2d(mid, mid, 3, stride, 1, bias=False)
-                self.bn2 = nn.BatchNorm2d(mid)
+                self.bn2 = BN(mid)
                 self.conv3 = nn.Conv2d(mid, cout, 1, bias=False)
-                self.bn3 = nn.BatchNorm2d(cout)
-                self.down = (
+                self.bn3 = BN(cout)
+                self.downsample = (
                     nn.Sequential(nn.Conv2d(cin, cout, 1, stride, bias=False),
-                                  nn.BatchNorm2d(cout))
+                                  BN(cout))
                     if (stride != 1 or cin != cout) else None)
 
             def forward(self, x):
-                idn = x if self.down is None else self.down(x)
+                idn = x if self.downsample is None else self.downsample(x)
                 y = torch.relu(self.bn1(self.conv1(x)))
                 y = torch.relu(self.bn2(self.conv2(y)))
                 return torch.relu(self.bn3(self.conv3(y)) + idn)
@@ -104,7 +108,7 @@ def build_pipeline(backbone: str, image_size=(769, 1345)):
             def __init__(self):
                 super().__init__()
                 self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
-                self.bn1 = nn.BatchNorm2d(64)
+                self.bn1 = BN(64)
                 self.maxpool = nn.MaxPool2d(3, 2, 1)
                 self.layer1 = make_layer(64, 64, 256, 3, 1)
                 self.layer2 = make_layer(256, 128, 512, 4, 2)

@@ -17,7 +17,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from axial_vs_tpu.utils.torch_convert import (  # noqa: E402
-    convert_torchvision_resnet, convert_timm_convnext, prepare_cc_weights,
+    convert_maxtron_wc, convert_torchvision_resnet, convert_timm_convnext,
+    prepare_cc_weights,
 )
 
 
@@ -38,7 +39,8 @@ def main():
     ap.add_argument("--src", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--arch", choices=["resnet50", "resnet101", "convnext",
-                                       "swin", "stdc", "vitae", "raft"],
+                                       "swin", "stdc", "vitae", "raft",
+                                       "maxtron_wc", "maxtron_wc_convnext"],
                     default=None)
     ap.add_argument("--depths", nargs=4, type=int, default=[3, 3, 27, 3])
     ap.add_argument("--prepare-cc", action="store_true",
@@ -51,7 +53,13 @@ def main():
         out = prepare_cc_weights(variables)
     else:
         sd = load_torch_state_dict(args.src)
-        if args.arch in ("resnet50", "resnet101"):
+        if args.arch in ("maxtron_wc", "maxtron_wc_convnext"):
+            # full d2 MaXTron WC checkpoint (backbone + sem_seg_head)
+            bb = ("convnext" if args.arch.endswith("convnext")
+                  else "resnet50")
+            out = convert_maxtron_wc(sd, backbone=bb,
+                                     depths=tuple(args.depths))
+        elif args.arch in ("resnet50", "resnet101"):
             depth = int(args.arch[6:])
             params, stats = convert_torchvision_resnet(sd, depth=depth)
             out = {"params": {"backbone": params}, "batch_stats": {"backbone": stats}}
