@@ -45,4 +45,4 @@ def gt_to_records(image_id, masks, labels, iscrowd=None):
 
 
 def coco_instance_ap(gt_records, pred_records):
-    return YTVISEvaluator().evaluate(gt_records, pred_records)
+    return YTVISEvaluator(crowd_iou=True).evaluate(gt_records, pred_records)

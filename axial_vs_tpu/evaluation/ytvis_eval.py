@@ -1,10 +1,15 @@
 """YouTube-VIS AP evaluation (video instance segmentation).
 
-Re-implements the YTVIS devkit semantics the reference vendors
-(`MaXTron_Tube-Link/datasets/datasets/core/ytviseval.py`): video-track IoU =
-sum of per-frame intersections / sum of per-frame unions (absent frames are
-empty masks), COCO-style greedy matching per category at IoU thresholds
-.50:.05:.95, 101-point interpolated AP, plus AR@1/10/100.
+Faithful numpy port of the YTVIS devkit the reference vendors
+(`MaXTron_Tube-Link/datasets/datasets/core/ytviseval.py`, itself the
+youtubevos cocoapi ytvoseval): video-track IoU = sum of per-frame
+intersections / sum of per-frame unions (absent frames are empty masks,
+crowd GTs use the prediction's area as the union), COCO-style greedy
+matching per (video, category, area range, maxDet) at IoU .50:.05:.95,
+ignore semantics (crowd + out-of-area-range GTs sorted last, unmatched
+out-of-range detections ignored), [T, R, K, A, M] accumulation with
+101-point interpolated precision. Pinned to the reference devkit by
+tests/test_ytvis.py::test_matches_reference_devkit.
 """
 from __future__ import annotations
 
@@ -13,6 +18,10 @@ from collections import defaultdict
 import numpy as np
 
 from ..data import mask_rle
+
+AREA_RNGS = ((0.0, 1e10), (0.0, 128.0**2), (128.0**2, 256.0**2),
+             (256.0**2, 1e10))
+AREA_LBLS = ("all", "small", "medium", "large")
 
 
 def video_iou(pred_segm, gt_segm, iscrowd=False):
@@ -24,7 +33,8 @@ def video_iou(pred_segm, gt_segm, iscrowd=False):
         if pm is None and gm is None:
             continue
         if pm is None:
-            union += int(gm.sum())
+            if not iscrowd:
+                union += int(gm.sum())
             continue
         if gm is None:
             union += int(pm.sum())
@@ -37,106 +47,199 @@ def video_iou(pred_segm, gt_segm, iscrowd=False):
     return inter / union if union else 0.0
 
 
+def _avg_area(rec):
+    """Devkit avg_area: mean of the non-empty per-frame areas (0 if none).
+    Prefers an explicit ``areas`` list (annotation format), else computes
+    from the segmentations."""
+    areas = rec.get("areas")
+    if areas is None:
+        areas = [int(mask_rle.decode(s).sum()) if s else None
+                 for s in rec["segmentations"]]
+    vals = [a for a in areas if a]
+    return float(np.mean(vals)) if vals else 0.0
+
+
 class YTVISEvaluator:
-    def __init__(self, iou_thrs=None, max_dets=(1, 10, 100)):
-        self.iou_thrs = iou_thrs if iou_thrs is not None else np.arange(0.5, 1.0, 0.05)
+    def __init__(self, iou_thrs=None, max_dets=(1, 10, 100),
+                 area_rngs=AREA_RNGS, area_lbls=AREA_LBLS,
+                 crowd_iou=False):
+        # crowd_iou=False reproduces the devkit: its video ``iou_seq``
+        # (`ytviseval.py:206-220`) ignores iscrowd entirely; COCOeval-style
+        # crowd unions are opt-in (used by evaluation/coco_instance.py)
+        self.iou_thrs = (np.asarray(iou_thrs) if iou_thrs is not None
+                         else np.linspace(0.5, 0.95, 10))
         self.recall_thrs = np.linspace(0.0, 1.0, 101)
-        self.max_dets = max_dets
+        self.max_dets = tuple(max_dets)
+        self.area_rngs = tuple(tuple(a) for a in area_rngs)
+        self.area_lbls = tuple(area_lbls)
+        self.crowd_iou = crowd_iou
+
+    def _evaluate_vid(self, gt, dt, ious, a_rng, max_det):
+        """Port of ``YTVISeval.evaluateVid``. gt/dt carry _id/_area/score;
+        ious (D, G) in ORIGINAL gt order."""
+        if len(gt) == 0 and len(dt) == 0:
+            return None
+        t_n = len(self.iou_thrs)
+        g_ign0 = np.array([
+            1 if (g.get("iscrowd", 0)
+                  or g["_area"] < a_rng[0] or g["_area"] > a_rng[1]) else 0
+            for g in gt])
+        gtind = np.argsort(g_ign0, kind="mergesort")
+        gt = [gt[i] for i in gtind]
+        dtind = np.argsort([-d["score"] for d in dt], kind="mergesort")
+        dt = [dt[i] for i in dtind[:max_det]]
+        iscrowd = [int(g.get("iscrowd", 0)) for g in gt]
+        ious = ious[:, gtind][dtind[:max_det]] if len(ious) else ious
+
+        G, D = len(gt), len(dt)
+        gtm = np.zeros((t_n, G))
+        dtm = np.zeros((t_n, D))
+        gt_ig = g_ign0[gtind].astype(float)
+        dt_ig = np.zeros((t_n, D))
+        if len(ious):
+            for ti, t in enumerate(self.iou_thrs):
+                for di in range(D):
+                    iou = min(t, 1 - 1e-10)
+                    m = -1
+                    for gi in range(G):
+                        if gtm[ti, gi] > 0 and not iscrowd[gi]:
+                            continue
+                        if m > -1 and gt_ig[m] == 0 and gt_ig[gi] == 1:
+                            break
+                        if ious[di, gi] < iou:
+                            continue
+                        iou = ious[di, gi]
+                        m = gi
+                    if m == -1:
+                        continue
+                    dt_ig[ti, di] = gt_ig[m]
+                    dtm[ti, di] = gt[m]["_id"]
+                    gtm[ti, m] = dt[di]["_id"]
+        out_of_rng = np.array([
+            d["_area"] < a_rng[0] or d["_area"] > a_rng[1] for d in dt
+        ]).reshape(1, D)
+        dt_ig = np.logical_or(
+            dt_ig, np.logical_and(dtm == 0, np.repeat(out_of_rng, t_n, 0)))
+        return {
+            "dtMatches": dtm,
+            "dtScores": np.array([d["score"] for d in dt]),
+            "gtIgnore": gt_ig,
+            "dtIgnore": dt_ig,
+        }
 
     def evaluate(self, gts, preds):
-        """gts: list of {video_id, category_id, segmentations, iscrowd};
-        preds: list of {video_id, category_id, score, segmentations}."""
+        """gts: list of {video_id, category_id, segmentations[, areas,
+        iscrowd]}; preds: list of {video_id, category_id, score,
+        segmentations}. Returns the devkit summary metrics."""
+        for i, g in enumerate(gts):
+            g["_id"] = i + 1
+            g["_area"] = _avg_area(g)
+        for i, d in enumerate(preds):
+            d["_id"] = i + 1
+            d["_area"] = _avg_area(d)
+
         cats = sorted({g["category_id"] for g in gts})
+        videos = sorted({g["video_id"] for g in gts}
+                        | {p["video_id"] for p in preds})
         gt_by = defaultdict(list)
-        pred_by = defaultdict(list)
+        dt_by = defaultdict(list)
         for g in gts:
             gt_by[(g["video_id"], g["category_id"])].append(g)
         for p in preds:
-            pred_by[(p["video_id"], p["category_id"])].append(p)
-        videos = sorted({g["video_id"] for g in gts} | {p["video_id"] for p in preds})
+            dt_by[(p["video_id"], p["category_id"])].append(p)
 
-        t_n = len(self.iou_thrs)
-        ap_list = np.full((t_n, len(cats)), np.nan)
-        ar_list = {md: np.full((t_n, len(cats)), np.nan) for md in self.max_dets}
-
-        for ci, cat in enumerate(cats):
-            scores_all, matched_all, n_gt = [], {t: [] for t in range(t_n)}, 0
-            for vid in videos:
-                gt = [g for g in gt_by.get((vid, cat), []) if not g.get("iscrowd", 0)]
-                crowd = [g for g in gt_by.get((vid, cat), []) if g.get("iscrowd", 0)]
-                dt = sorted(
-                    pred_by.get((vid, cat), []), key=lambda p: -p["score"]
-                )[: max(self.max_dets)]
-                n_gt += len(gt)
-                if not dt:
-                    continue
-                ious = np.zeros((len(dt), len(gt) + len(crowd)))
+        max_det = max(self.max_dets)
+        iou_cache = {}
+        for vid in videos:
+            for cat in cats:
+                gt = gt_by.get((vid, cat), [])
+                dt = sorted(dt_by.get((vid, cat), []),
+                            key=lambda d: -d["score"])[:max_det]
+                ious = np.zeros((len(dt), len(gt)))
                 for di, d in enumerate(dt):
-                    for gi, g in enumerate(gt + crowd):
+                    for gi, g in enumerate(gt):
                         ious[di, gi] = video_iou(
                             d["segmentations"], g["segmentations"],
-                            iscrowd=bool(g.get("iscrowd", 0)),
-                        )
-                for ti, thr in enumerate(self.iou_thrs):
-                    taken = set()
-                    for di, d in enumerate(dt):
-                        best, best_gi = thr - 1e-10, -1
-                        for gi in range(len(gt)):
-                            if gi in taken:
-                                continue
-                            if ious[di, gi] >= best:
-                                best, best_gi = ious[di, gi], gi
-                        if best_gi >= 0:
-                            taken.add(best_gi)
-                            matched_all[ti].append((d["score"], 1, False))
-                        else:
-                            # ignore if it sits on a crowd region
-                            ign = any(
-                                ious[di, len(gt) + k] > thr
-                                for k in range(len(crowd))
-                            )
-                            matched_all[ti].append((d["score"], 0, ign))
-            if n_gt == 0:
-                continue
-            for ti in range(t_n):
-                recs = sorted(matched_all[ti], key=lambda x: -x[0])
-                tp = fp = 0
-                precisions, recalls = [], []
-                for score, is_tp, ignored in recs:
-                    if ignored and not is_tp:
-                        continue
-                    tp += is_tp
-                    fp += 1 - is_tp
-                    precisions.append(tp / (tp + fp))
-                    recalls.append(tp / n_gt)
-                ap_list[ti, ci] = self._interp_ap(precisions, recalls)
-                for md in self.max_dets:
-                    # AR at maxdet: recall with top-md dets per video (approx:
-                    # global cut is close since dets were already per-video
-                    # truncated at max(max_dets))
-                    ar_list[md][ti, ci] = recalls[-1] if recalls else 0.0
+                            iscrowd=self.crowd_iou
+                            and bool(g.get("iscrowd", 0)))
+                iou_cache[(vid, cat)] = ious
 
-        def nanmean(x):
-            return float(np.nanmean(x)) if np.isfinite(x).any() else 0.0
+        t_n, r_n = len(self.iou_thrs), len(self.recall_thrs)
+        k_n, a_n, m_n = len(cats), len(self.area_rngs), len(self.max_dets)
+        precision = -np.ones((t_n, r_n, k_n, a_n, m_n))
+        recall = -np.ones((t_n, k_n, a_n, m_n))
+
+        for ki, cat in enumerate(cats):
+            for ai, a_rng in enumerate(self.area_rngs):
+                for mi, md in enumerate(self.max_dets):
+                    results = []
+                    for vid in videos:
+                        gt = gt_by.get((vid, cat), [])
+                        dt = sorted(dt_by.get((vid, cat), []),
+                                    key=lambda d: -d["score"])[:max_det]
+                        r = self._evaluate_vid(
+                            gt, dt, iou_cache[(vid, cat)], a_rng, md)
+                        if r is not None:
+                            results.append(r)
+                    if not results:
+                        continue
+                    scores = np.concatenate(
+                        [r["dtScores"][:md] for r in results])
+                    order = np.argsort(-scores, kind="mergesort")
+                    dtm = np.concatenate(
+                        [r["dtMatches"][:, :md] for r in results],
+                        axis=1)[:, order]
+                    dt_ig = np.concatenate(
+                        [r["dtIgnore"][:, :md] for r in results],
+                        axis=1)[:, order]
+                    gt_ig = np.concatenate([r["gtIgnore"] for r in results])
+                    npig = int(np.count_nonzero(gt_ig == 0))
+                    if npig == 0:
+                        continue
+                    tps = np.logical_and(dtm, np.logical_not(dt_ig))
+                    fps = np.logical_and(np.logical_not(dtm),
+                                         np.logical_not(dt_ig))
+                    tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
+                    fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
+                    for ti, (tp, fp) in enumerate(zip(tp_sum, fp_sum)):
+                        rc = tp / npig
+                        pr = tp / (fp + tp + np.spacing(1))
+                        recall[ti, ki, ai, mi] = rc[-1] if len(tp) else 0
+                        pr = pr.tolist()
+                        for i in range(len(pr) - 1, 0, -1):
+                            if pr[i] > pr[i - 1]:
+                                pr[i - 1] = pr[i]
+                        q = np.zeros(r_n)
+                        inds = np.searchsorted(rc, self.recall_thrs,
+                                               side="left")
+                        for ri, pi in enumerate(inds):
+                            if pi < len(pr):
+                                q[ri] = pr[pi]
+                        precision[ti, :, ki, ai, mi] = q
+
+        def _summ(use_prec, t=None, a=0, m=m_n - 1):
+            arr = precision if use_prec else recall
+            if use_prec:
+                s = arr[:, :, :, a, m] if t is None else arr[[t], :, :, a, m]
+            else:
+                s = arr[:, :, a, m] if t is None else arr[[t], :, a, m]
+            valid = s[s > -1]
+            return float(np.mean(valid)) if valid.size else -1.0
 
         results = {
-            "AP": nanmean(ap_list),
-            "AP50": nanmean(ap_list[0]),
-            "AP75": nanmean(ap_list[5]) if t_n > 5 else float("nan"),
-            "per_category_AP": {c: nanmean(ap_list[:, i]) for i, c in enumerate(cats)},
+            "AP": _summ(True),
+            "AP50": _summ(True, t=0),
+            "AP75": _summ(True, t=5) if t_n > 5 else float("nan"),
+            "AP_small": _summ(True, a=1),
+            "AP_medium": _summ(True, a=2),
+            "AP_large": _summ(True, a=3),
+            "per_category_AP": {},
         }
-        for md in self.max_dets:
-            results[f"AR@{md}"] = nanmean(ar_list[md])
+        for mi, md in enumerate(self.max_dets):
+            results[f"AR@{md}"] = _summ(False, m=mi)
+        for ki, cat in enumerate(cats):
+            s = precision[:, :, ki, 0, m_n - 1]
+            valid = s[s > -1]
+            results["per_category_AP"][cat] = (
+                float(np.mean(valid)) if valid.size else -1.0)
         return results
-
-    def _interp_ap(self, precisions, recalls):
-        if not precisions:
-            return 0.0
-        precisions = np.asarray(precisions)
-        recalls = np.asarray(recalls)
-        # make precision monotonically decreasing from the right
-        for i in range(len(precisions) - 2, -1, -1):
-            precisions[i] = max(precisions[i], precisions[i + 1])
-        idx = np.searchsorted(recalls, self.recall_thrs, side="left")
-        q = np.where(idx < len(precisions), precisions[np.minimum(idx, len(precisions) - 1)], 0.0)
-        return float(np.mean(q))

@@ -607,3 +607,58 @@ def load_maskformer_fusion_head():
     sys.modules[pkg].base_panoptic_fusion_head = base
     return _load(f"{pkg}.maskformer_fusion_head",
                  f"{base_dir}/maskformer_fusion_head.py", package=pkg)
+
+
+def load_ytvis_devkit():
+    """Reference YTVIS api + YTVISeval. pycocotools is absent in this image,
+    so a stub backed by axial_vs_tpu.data.mask_rle provides the mask ops the
+    devkit uses (area/merge/decode/encode/toBbox).
+    Returns (ytvis_module, ytviseval_module)."""
+    import numpy as _np
+
+    if not hasattr(_np, "float"):  # the devkit predates numpy 2.x
+        _np.float = float
+
+    if "pycocotools" not in sys.modules:
+        import importlib.util as _ilu
+        if _ilu.find_spec("pycocotools") is None:
+            sys.path.insert(0, "/root/repo")
+            from axial_vs_tpu.data import mask_rle as _mr
+
+            mask = types.ModuleType("pycocotools.mask")
+
+            def _merge(rles, intersect=False):
+                ms = [_mr.decode(r).astype(bool) for r in rles]
+                out = ms[0]
+                for m in ms[1:]:
+                    out = (out & m) if intersect else (out | m)
+                return _mr.encode(out.astype(_np.uint8))
+
+            def _to_bbox(rle):
+                m = _mr.decode(rle)
+                ys, xs = _np.nonzero(m)
+                if not len(ys):
+                    return _np.zeros(4)
+                return _np.array([xs.min(), ys.min(),
+                                  xs.max() - xs.min() + 1,
+                                  ys.max() - ys.min() + 1], _np.float64)
+
+            mask.area = lambda rle: float(_mr.area(rle))
+            mask.merge = _merge
+            mask.decode = _mr.decode
+            mask.encode = lambda m: _mr.encode(_np.asarray(m, _np.uint8))
+            mask.toBbox = _to_bbox
+
+            def _frPyObjects(*a, **k):
+                raise NotImplementedError("polygon inputs not supported")
+
+            mask.frPyObjects = _frPyObjects
+            pkg = types.ModuleType("pycocotools")
+            pkg.mask = mask
+            sys.modules["pycocotools"] = pkg
+            sys.modules["pycocotools.mask"] = mask
+    base = "/root/reference/MaXTron_Tube-Link/datasets/datasets/core"
+    api = _load("ytvis_ref.ytvis", f"{base}/ytvis.py", package="ytvis_ref")
+    ev = _load("ytvis_ref.ytviseval", f"{base}/ytviseval.py",
+               package="ytvis_ref")
+    return api, ev

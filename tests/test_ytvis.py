@@ -110,3 +110,94 @@ def test_results_serialization(rng):
     out = results_to_ytvis_json([(7, inst)])
     assert len(out) == 2
     assert out[0]["video_id"] == 7 and len(out[0]["segmentations"]) == 3
+
+
+def test_matches_reference_devkit(rng):
+    """AP/AR parity with the vendored YTVIS devkit
+    (`datasets/datasets/core/ytviseval.py`) on random synthetic videos —
+    exercises area ranges, crowd ignores, maxDets and absent frames."""
+    from reference_shims import load_ytvis_devkit
+
+    api_mod, ev_mod = load_ytvis_devkit()
+    from axial_vs_tpu.data import mask_rle
+    h, w, t, n_vids, n_cats = 300, 320, 3, 4, 3
+
+    def rand_track(kind):
+        segs, areas = [], []
+        # one size per track so avg_area lands squarely in one range
+        size = {"small": rng.randint(8, 120),
+                "medium": rng.randint(130, 250),
+                "large": rng.randint(258, 290)}[kind]
+        for _ in range(t):
+            if rng.rand() < 0.2:
+                segs.append(None)
+                areas.append(None)
+                continue
+            m = np.zeros((h, w), np.uint8)
+            y0, x0 = rng.randint(0, h - size), rng.randint(0, w - size)
+            m[y0:y0 + size, x0:x0 + size] = 1
+            segs.append(mask_rle.encode(m))
+            areas.append(int(m.sum()))
+        return segs, areas
+
+    videos = [{"id": v + 1, "height": h, "width": w,
+               "file_names": [f"{v}/{i}.jpg" for i in range(t)]}
+              for v in range(n_vids)]
+    anns, results = [], []
+    aid = 1
+    for v in range(n_vids):
+        for k in range(rng.randint(3, 6)):
+            cat = int(rng.randint(1, n_cats + 1))
+            kind = ("small", "medium", "large")[k % 3]
+            segs, areas = rand_track(kind)
+            anns.append({"id": aid, "video_id": v + 1, "category_id": cat,
+                         "segmentations": segs, "areas": areas,
+                         "iscrowd": int(rng.rand() < 0.15)})
+            aid += 1
+            # detections: a jittered copy + noise detections
+            if rng.rand() < 0.85:
+                results.append({"video_id": v + 1, "category_id": cat,
+                                "segmentations": segs,
+                                "score": float(rng.rand())})
+            nsegs, _ = rand_track(("small", "medium", "large")[
+                rng.randint(3)])
+            results.append({"video_id": v + 1,
+                            "category_id": int(rng.randint(1, n_cats + 1)),
+                            "segmentations": nsegs,
+                            "score": float(rng.rand())})
+
+    dataset = {
+        "videos": videos,
+        "annotations": anns,
+        "categories": [{"id": c + 1, "name": str(c)} for c in range(n_cats)],
+    }
+    gt_api = api_mod.YTVIS()
+    gt_api.dataset = dataset
+    gt_api.createIndex()
+    dt_api = gt_api.loadRes([dict(r) for r in results])
+    E = ev_mod.YTVISeval(gt_api, dt_api, iouType="segm")
+    E.params.vidIds = [v["id"] for v in videos]
+    E.evaluate()
+    E.accumulate()
+    E.summarize()
+    # devkit stats: [AP, AP50, AP75, APs, APm, APl, AR@1, AR@10, AR@100, ...]
+    want = E.stats
+
+    gts = [{"video_id": a["video_id"], "category_id": a["category_id"],
+            "segmentations": a["segmentations"], "areas": a["areas"],
+            "iscrowd": a["iscrowd"]} for a in anns]
+    preds = [dict(r) for r in results]
+    got = YTVISEvaluator().evaluate(gts, preds)
+
+    np.testing.assert_allclose(got["AP"], want[0], atol=1e-8)
+    np.testing.assert_allclose(got["AP50"], want[1], atol=1e-8)
+    np.testing.assert_allclose(got["AP75"], want[2], atol=1e-8)
+    np.testing.assert_allclose(got["AP_small"], want[3], atol=1e-8)
+    np.testing.assert_allclose(got["AP_medium"], want[4], atol=1e-8)
+    np.testing.assert_allclose(got["AP_large"], want[5], atol=1e-8)
+    np.testing.assert_allclose(got["AR@1"], want[6], atol=1e-8)
+    np.testing.assert_allclose(got["AR@10"], want[7], atol=1e-8)
+    np.testing.assert_allclose(got["AR@100"], want[8], atol=1e-8)
+    # fixture must actually exercise every area range
+    assert got["AP_small"] > -1 and got["AP_medium"] > -1 \
+        and got["AP_large"] > -1
