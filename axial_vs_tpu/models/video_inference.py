@@ -73,7 +73,8 @@ class WCInferencePipeline:
                  contiguous_to_dataset_id, label_divisor=10000,
                  pixel_confidence_threshold=0.3, class_threshold_thing=0.2,
                  class_threshold_stuff=0.3, overlap_threshold=0.8,
-                 reorder_class_weight=1.0, reorder_mask_weight=1.0):
+                 reorder_class_weight=1.0, reorder_mask_weight=1.0,
+                 videowise_max_frames=16):
         self.module = module
         self.variables = variables
         self.num_clip_frames = num_clip_frames
@@ -83,6 +84,12 @@ class WCInferencePipeline:
         self.thing_class_mask = jnp.asarray(thing_class_mask)
         self.cont2ds = jnp.asarray(contiguous_to_dataset_id, jnp.int32)
         self.label_divisor = label_divisor
+        # memory bound: videos longer than this are processed in windows
+        # with cross-window slot re-ID (the reference instead offloads
+        # chunked backbone features to CPU, `mask2former_vis_tube.py:
+        # 173-202` — same goal: a 300-frame video must not blow HBM; the
+        # full-resolution finalize costs ~1.2 GB/frame transient)
+        self.videowise_max_frames = videowise_max_frames
         self.pp = dict(
             pixel_confidence_threshold=pixel_confidence_threshold,
             class_threshold_thing=class_threshold_thing,
@@ -134,7 +141,11 @@ class WCInferencePipeline:
 
         Returns (panoptic_ids (V, H', W') int32 numpy, PanopticOutput,
         per-slot embeddings numpy) with H', W' the original resolution.
+        Videos longer than ``videowise_max_frames`` are processed in
+        bounded windows with cross-window slot re-ID (see __init__).
         """
+        if frames.shape[0] > self.videowise_max_frames:
+            return self._run_video_windowed(frames, orig_hw)
         v = frames.shape[0]
         t = self.num_clip_frames
         orig_hw = orig_hw or (frames.shape[1], frames.shape[2])
@@ -178,6 +189,72 @@ class WCInferencePipeline:
         finalize = self._finalize_fn((scaled_h, scaled_w), tuple(orig_hw))
         ids, result = finalize(avg_logits, stitched_masks)
         return np.asarray(ids)[:v], jax.tree.map(np.asarray, result), matched_embds[0]
+
+    def _run_video_windowed(self, frames: np.ndarray, orig_hw=None):
+        """Bounded-memory whole-video inference: split into windows of
+        ``videowise_max_frames``, run the video-wise path per window, and
+        carry thing identities across windows by Hungarian-aligning the
+        windows' slot embeddings (``match_from_embds``) — each canonical
+        slot keeps one persistent instance index per category; stuff ids
+        are plain category ids and merge by construction."""
+        v = frames.shape[0]
+        t = self.num_clip_frames
+        w_len = max(t, self.videowise_max_frames
+                    - self.videowise_max_frames % t)
+        orig_hw = orig_hw or (frames.shape[1], frames.shape[2])
+
+        cont2ds = np.asarray(self.cont2ds)
+        div = self.label_divisor
+        registry: dict = {}          # (cat_ds, canonical_slot) -> inst idx
+        next_inst: dict = {}         # cat_ds -> next instance idx
+        canon_embds = None
+        first_embds = None
+        out_ids = []
+        last_result = None
+        for start in range(0, v, w_len):
+            window = frames[start:start + w_len]
+            ids, result, embds = self.run_video(window, orig_hw)
+            last_result = result
+            n = embds.shape[0]
+            if canon_embds is None:
+                perm = np.arange(n)
+                first_embds = embds
+            else:
+                perm = match_from_embds(canon_embds, embds)
+            canon_embds = embds[perm]
+            inv_perm = np.empty(n, int)
+            inv_perm[perm] = np.arange(n)
+
+            # window-local thing ids (cat*div + window_inst) -> global ids
+            id_map = {}
+            win_inst: dict = {}
+            order = np.argsort(
+                np.asarray(result.segment_id))  # acceptance order
+            for si in order:
+                if not bool(result.segment_valid[si]):
+                    continue
+                cat_ds = int(cont2ds[int(result.segment_category[si])])
+                if not bool(result.segment_isthing[si]):
+                    continue
+                w_idx = win_inst.get(cat_ds, 0)
+                win_inst[cat_ds] = w_idx + 1
+                canon_slot = int(inv_perm[int(result.slot_index[si])])
+                key = (cat_ds, canon_slot)
+                if key not in registry:
+                    registry[key] = next_inst.get(cat_ds, 0)
+                    next_inst[cat_ds] = registry[key] + 1
+                id_map[cat_ds * div + w_idx] = cat_ds * div + registry[key]
+            if id_map:
+                src = np.asarray(list(id_map))
+                dst = np.asarray([id_map[k] for k in id_map])
+                flat = ids.ravel()
+                remapped = flat.copy()
+                for s_id, d_id in zip(src, dst):
+                    remapped[flat == s_id] = d_id
+                ids = remapped.reshape(ids.shape)
+            out_ids.append(ids)
+        return (np.concatenate(out_ids, axis=0), last_result,
+                first_embds)
 
     def run_video_clipwise(self, frames: np.ndarray, orig_hw=None):
         """``clip-wise`` inference mode (ref `maxtron_wc_model.py:316-331`):

@@ -67,3 +67,27 @@ def test_attention_extraction(rng):
     assert np.isfinite(h_attn).all() and np.isfinite(w_attn).all()
     # softmax-normalized over the last (spatial) axis
     np.testing.assert_allclose(h_attn.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_windowed_long_video_bounded(rng):
+    """Videos longer than videowise_max_frames run in bounded windows with
+    cross-window slot re-ID: output covers every frame, ids stay in the
+    (cat*divisor + instance) format, and a repeated static video gives
+    IDENTICAL ids in every window (same embeddings -> same slots)."""
+    pipeline = _tiny_pipeline()
+    pipeline.videowise_max_frames = 4  # force windowing at 3 windows
+
+    frame = rng.randint(0, 255, (1, 48, 72, 3)).astype(np.uint8)
+    frames = np.repeat(frame, 12, axis=0)  # static 12-frame video
+    ids, result, embds = pipeline.run_video(frames)
+    assert ids.shape == (12, 48, 72)
+    assert embds is not None
+
+    # static video: every window must produce the same id map
+    np.testing.assert_array_equal(ids[0], ids[4])
+    np.testing.assert_array_equal(ids[0], ids[8])
+
+    # short video still uses the single-pass path and matches the windowed
+    # result on the shared prefix
+    ids_short, _, _ = pipeline.run_video(frames[:4])
+    np.testing.assert_array_equal(ids_short, ids[:4])
