@@ -31,6 +31,19 @@ def build_mapper(cfg, seed: int = 0):
             max_instances=cfg.model.kmax.trans_dec.num_object_queries,
             **common,
         )
+    if name in ("coco_instance_kmaxdeeplab", "coco_instance"):
+        from .catalog import MetadataCatalog
+        from .coco import CocoInstanceMapper
+
+        meta = MetadataCatalog.get(cfg.datasets.train[0]) if cfg.datasets.train else {}
+        return CocoInstanceMapper(
+            min_scale=cfg.input.min_scale,
+            max_scale=cfg.input.max_scale,
+            max_instances=cfg.model.kmax.trans_dec.num_object_queries,
+            dataset_id_to_contiguous_id=meta.get(
+                "dataset_id_to_contiguous_id"),
+            **common,
+        )
     if name in ("ytvis", "ytvis_clip"):
         from .ytvis import YTVISClipMapper
 

