@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -60,8 +61,12 @@ class ConvNeXtBlockScanBody(nn.Module):
             layer_scale_init_value=self.layer_scale_init_value,
             use_grn=self.use_grn,
             dtype=self.dtype,
+            # train=False below only disables the inner (static) DropPath;
+            # the fused Pallas path has no VJP, so gate it on the REAL
+            # train flag here
+            allow_fused=not train,
             name="block",
-        )(x, train=False)  # train=False disables the inner (static) DropPath
+        )(x, train=False)
         delta = y - x
         if train:
             keep = 1.0 - dp_rate
@@ -71,22 +76,75 @@ class ConvNeXtBlockScanBody(nn.Module):
         return x + delta, None
 
 
+class _ConvParams(nn.Module):
+    """Param-owner twin of the ``dwconv`` nn.Conv: declares the identical
+    {kernel, bias} tree so the fused Pallas path shares checkpoints with
+    the XLA path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", trunc_normal(std=0.02), (7, 7, 1, self.features),
+            jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _LNParams(nn.Module):
+    """Param-owner twin of the ``norm`` LayerNorm ({scale, bias})."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
+
+def _fused_dwln_enabled():
+    import os
+
+    return os.environ.get("AXIALVS_FUSED_DWLN", "1") != "0"
+
+
 class ConvNeXtBlock(nn.Module):
     dim: int
     drop_path_prob: float = 0.0
     layer_scale_init_value: float = 1e-6
     use_grn: bool = False  # V2
+    allow_fused: bool = True  # extra gate (scan body passes not-train here)
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         shortcut = x
-        y = nn.Conv(
-            self.dim, (7, 7), padding=[(3, 3), (3, 3)], feature_group_count=self.dim,
-            kernel_init=trunc_normal(std=0.02), bias_init=nn.initializers.zeros,
-            dtype=self.dtype, name="dwconv",
-        )(x)
-        y = LayerNorm(features=self.dim, epsilon=1e-6, name="norm")(y)
+        if (self.allow_fused and not train and x.dtype == jnp.bfloat16
+                and x.ndim == 4 and jax.default_backend() == "tpu"
+                and _fused_dwln_enabled()):
+            # inference fast path: one Pallas kernel for dwconv7x7 + fp32
+            # LayerNorm (ops/convnext_pallas.py) — the activation round-trips
+            # HBM once instead of three times. Training keeps the
+            # differentiable XLA path below (same params).
+            from ...ops.convnext_pallas import dwconv7x7_layernorm
+
+            kernel, cbias = _ConvParams(self.dim, name="dwconv")()
+            scale, nbias = _LNParams(self.dim, name="norm")()
+            y = dwconv7x7_layernorm(x, kernel, cbias, scale, nbias)
+        else:
+            y = nn.Conv(
+                self.dim, (7, 7), padding=[(3, 3), (3, 3)],
+                feature_group_count=self.dim,
+                kernel_init=trunc_normal(std=0.02),
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype, name="dwconv",
+            )(x)
+            y = LayerNorm(features=self.dim, epsilon=1e-6, name="norm")(y)
         y = nn.Dense(
             4 * self.dim, kernel_init=trunc_normal(std=0.02),
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="pwconv1",

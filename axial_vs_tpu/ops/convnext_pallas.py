@@ -1,0 +1,109 @@
+"""Pallas TPU kernel: fused 7x7 depthwise conv + LayerNorm (ConvNeXt block).
+
+The ConvNeXt block opens with ``dwconv 7x7 -> LayerNorm(fp32)`` (reference
+`kmax_deeplab/modeling/backbone/convnext.py:15-50`). Under XLA these are the
+two non-MXU costs of the backbone: the depthwise conv lowers to a 49-tap
+VPU shift-add at ~40% utilization, and the fp32 LayerNorm materializes two
+dtype converts + reductions in HBM between the conv and pwconv1 (profiled
+~10 ms dwconv + ~8 ms LN/converts per ConvNeXt-L clip at 769x1345).
+
+This kernel computes both in one VMEM pass: the activation is read from HBM
+once (bf16), the 49 taps accumulate in f32 in VMEM, LayerNorm normalizes the
+accumulator in-register, and only the bf16 result returns to HBM.
+
+Halo handling: the grid tiles H; each step reads its own row-block plus both
+neighbor blocks (three BlockSpecs over the same array with shifted index
+maps — Pallas pipelines these automatically, unlike manual element DMAs
+which measured latency-bound). Out-of-image rows (top/bottom halo at the
+edges, the tail of a non-dividing H) are zeroed by a global-row validity
+select, which also neutralizes the garbage Pallas may feed for
+out-of-bounds tail blocks.
+
+Inference-only (no VJP); training keeps the differentiable XLA path, same
+pattern as ops/msda_pallas.weighted_corner_reduce_v4.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(xm1_ref, x0_ref, xp1_ref, kw_ref, kb_ref, ls_ref, lb_ref,
+            out_ref, *, tile_h: int, height: int, eps: float):
+    i = pl.program_id(1)
+    th = tile_h
+    # assemble rows [i*th - 3, i*th + th + 3) of the image
+    top = xm1_ref[0, th - 3:th]          # (3, W, C)
+    mid = x0_ref[0]                      # (th, W, C)
+    bot = xp1_ref[0, 0:3]                # (3, W, C)
+    col = jnp.concatenate([top, mid, bot], axis=0)  # (th+6, W, C)
+    # zero out rows outside [0, H): clamped halo duplicates at the image
+    # edges and the padded tail of a non-dividing H (select, not multiply —
+    # out-of-bounds tail data is unspecified and may hold NaN bit patterns)
+    g = (jax.lax.broadcasted_iota(jnp.int32, (th + 6, 1, 1), 0)
+         + i * th - 3)
+    col = jnp.where((g >= 0) & (g < height), col, jnp.zeros_like(col))
+    w = col.shape[1]
+    # keep the assembled column bf16 (an f32 copy would double the VMEM
+    # stack footprint past the scoped limit at C=768+); taps upcast
+    # per-slice in registers and accumulate f32
+    colp = jnp.pad(col, ((0, 0), (3, 3), (0, 0)))
+
+    acc = jnp.broadcast_to(kb_ref[0].astype(jnp.float32),
+                           (th, w, col.shape[2]))
+    # dx outer: ONE sublane shift + f32 upcast per dx column (7 total);
+    # the dy taps inside are plain row offsets (free addressing)
+    for dx in range(7):
+        sh = colp[:, dx:dx + w].astype(jnp.float32)
+        for dy in range(7):
+            acc = acc + sh[dy:dy + th] * kw_ref[dy * 7 + dx]
+    # LayerNorm over channels, f32 (matches ops.norm.LayerNorm)
+    mean = jnp.mean(acc, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(acc - mean), axis=-1, keepdims=True)
+    y = (acc - mean) * jax.lax.rsqrt(var + eps)
+    y = y * ls_ref[0] + lb_ref[0]
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "eps"))
+def dwconv7x7_layernorm(x, kernel, bias, ln_scale, ln_bias,
+                        tile_h: int = 8, eps: float = 1e-6):
+    """x (N, H, W, C) bf16; kernel (7, 7, 1, C) (flax HWIO, depthwise);
+    bias/ln_scale/ln_bias (C,) f32 -> (N, H, W, C) bf16 =
+    LayerNorm(dwconv7x7_same(x) + bias) * ln_scale + ln_bias."""
+    n, h, w, c = x.shape
+    nh = pl.cdiv(h, tile_h)
+    kw = kernel.reshape(49, c).astype(jnp.float32)
+    kb = bias.reshape(1, c).astype(jnp.float32)
+    ls = ln_scale.reshape(1, c).astype(jnp.float32)
+    lb = ln_bias.reshape(1, c).astype(jnp.float32)
+
+    def row_spec(off):
+        return pl.BlockSpec(
+            (1, tile_h, w, c),
+            lambda ni, hi: (ni, jnp.clip(hi + off, 0, nh - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    param_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, tile_h=tile_h, height=h, eps=eps),
+        grid=(n, nh),
+        in_specs=[row_spec(-1), row_spec(0), row_spec(1),
+                  param_spec, param_spec, param_spec, param_spec],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w, c), lambda ni, hi: (ni, hi, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 49 * n * h * w * c + 8 * n * h * w * c,
+            bytes_accessed=x.size * 2 * 4,  # 3x halo reads + 1 write, bf16
+            transcendentals=0,
+        ),
+    )(x, x, x, kw, kb, ls, lb)
