@@ -57,6 +57,40 @@ class RelativePositionalEncoding(nn.Module):
         )
 
 
+class _BNFoldParams(nn.Module):
+    """Param-owner twin of ops.norm.BatchNorm: declares the identical
+    {params: scale, bias} + {batch_stats: mean, var} tree and returns the
+    eval-time FOLDED affine (s, b) with y = x * s + b.
+
+    At eval BatchNorm is a per-channel affine, so the similarity path's
+    ``concat -> BN -> reshape -> sum`` over the (N, L, M, 3h) tensor — the
+    largest intermediate of the attention — can be folded into pre-scaled
+    einsum operands instead (see AxialAttention.__call__). Training keeps
+    the real BatchNorm (it needs batch statistics of the concatenated
+    similarities).
+    """
+
+    features: int
+    epsilon: float = 1e-3  # ops.norm.BN_EPS
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        import jax
+
+        s = scale * jax.lax.rsqrt(var.value + self.epsilon)
+        return s, bias - mean.value * s
+
+
 class AxialAttention(nn.Module):
     """Single-axis attention over (..., L, C) with q/k/v RPE and BN'd logits."""
 
@@ -133,6 +167,42 @@ class AxialAttention(nn.Module):
             retrieved_rpe = jnp.einsum(
                 "nhlm,lmd->nlhd", weights, value_rpe.astype(weights.dtype)
             ).reshape(n, length, self.total_value_depth)
+        elif not train:
+            # eval fast path: BatchNorm is an affine at eval, so the
+            # ``concat -> BN -> reshape -> sum`` over the (N, L, M, 3h)
+            # similarity tensor folds into PRE-SCALED einsum operands, and
+            # the retrieved-output BN+sum folds into two scaled adds —
+            # removes every elementwise pass over the attention's largest
+            # intermediates (profiled ~0.3 ms/axis at stage-1 geometry).
+            # Param/variable trees are identical to the train branch.
+            s3, b3 = _BNFoldParams(3 * h, name="batch_norm_similarity")()
+            s3 = s3.astype(q.dtype)
+            q_c = q * s3[None, None, 0 * h:1 * h, None]
+            q_r = q * s3[None, None, 1 * h:2 * h, None]
+            k_r = k * s3[None, None, 2 * h:3 * h, None]
+            # the folded BN bias is constant along the softmax (m) axis,
+            # so softmax is invariant to it — omit it entirely
+            del b3
+            logits = (
+                jnp.einsum("nlhd,nmhd->nlmh", q_c, k)
+                + jnp.einsum("nlhd,lmd->nlmh", q_r, query_rpe.astype(q.dtype))
+                + jnp.einsum("nmhd,lmd->nlmh", k_r, key_rpe.astype(k.dtype))
+            )
+            weights = nn.softmax(logits.astype(jnp.float32), axis=2)
+            weights = weights.astype(v.dtype)
+
+            tv = self.total_value_depth
+            retrieved_content = jnp.einsum(
+                "nlmh,nmhd->nlhd", weights, v).reshape(n, length, tv)
+            retrieved_rpe = jnp.einsum(
+                "nlmh,lmd->nlhd", weights, value_rpe.astype(weights.dtype)
+            ).reshape(n, length, tv)
+            s2, b2 = _BNFoldParams(
+                2 * tv, name="batch_norm_retrieved_output")()
+            s2 = s2.astype(retrieved_content.dtype)
+            out = (retrieved_content * s2[:tv] + retrieved_rpe * s2[tv:]
+                   + (b2[:tv] + b2[tv:]).astype(retrieved_content.dtype))
+            return out
         else:
             content_sim = jnp.einsum("nlhd,nmhd->nlmh", q, k)
             query_rpe_sim = jnp.einsum(

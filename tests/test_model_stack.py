@@ -135,3 +135,43 @@ def test_video_transformer_decoder(rng):
     assert out["cluster_centers"].shape == (2, 16, 256)
     for aux in out["aux_outputs"]:
         assert aux["pred_masks"].shape == (2, t, 16, 16, 16)
+
+
+def test_axial_attention_eval_fold_matches_bn(rng):
+    """The eval fast path folds the similarity/retrieved BatchNorms into
+    scaled einsum operands; with RANDOMIZED running stats it must match the
+    unfolded BN semantics (the head_batched branch keeps the original
+    concat->BN->sum path and shares the exact same variable tree)."""
+    folded = AxialAttention(
+        query_shape=9, total_key_depth=16, total_value_depth=32, num_heads=4)
+    unfolded = AxialAttention(
+        query_shape=9, total_key_depth=16, total_value_depth=32, num_heads=4,
+        head_batched=True)
+    x = jnp.asarray(rng.randn(6, 9, 24).astype(np.float32))
+    vs = folded.init(jax.random.PRNGKey(0), x, train=False)
+    # same tree either way (checkpoint compat between the two paths)
+    vs2 = jax.eval_shape(lambda: unfolded.init(
+        jax.random.PRNGKey(0), x, train=False))
+    assert jax.tree.map(lambda s: s.shape, vs2) == jax.tree.map(
+        lambda a: a.shape, vs)
+    # randomize every BN param + running stat
+    cnt = [0]
+
+    def rnd(a):
+        cnt[0] += 1
+        return jnp.asarray(
+            np.abs(rng.randn(*a.shape)).astype(np.float32) + 0.1
+            if a.ndim else a)
+
+    vs = {
+        "params": vs["params"],
+        "batch_stats": jax.tree.map(rnd, vs["batch_stats"]),
+    }
+    vs["params"] = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32) * 0.5)
+        if a.ndim == 1 else a, vs["params"])
+    assert cnt[0] >= 6
+    y_fold = folded.apply(vs, x, train=False)
+    y_bn = unfolded.apply(vs, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y_fold), np.asarray(y_bn), rtol=2e-4, atol=2e-4)
