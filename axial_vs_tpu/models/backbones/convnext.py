@@ -107,10 +107,37 @@ class _LNParams(nn.Module):
         return scale, bias
 
 
+class _DenseParams(nn.Module):
+    """Param-owner twin of an ``nn.Dense`` ({kernel, bias})."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", trunc_normal(std=0.02),
+            (self.in_features, self.features), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 def _fused_dwln_enabled():
     import os
 
     return os.environ.get("AXIALVS_FUSED_DWLN", "1") != "0"
+
+
+def _fused_mlp_enabled():
+    # OPT-IN (negative result, kept for the record): chained 27x at the
+    # ConvNeXt-L stage-3 shape the fused kernel measured 579 us/block vs
+    # XLA's 556 — the pwconv dots are compute-bound there (~72% MXU), so
+    # keeping the hidden activation in VMEM saves HBM traffic that was not
+    # the bottleneck. See docs/PERFORMANCE.md (round 2).
+    import os
+
+    return os.environ.get("AXIALVS_FUSED_MLP", "0") == "1"
 
 
 class ConvNeXtBlock(nn.Module):
@@ -131,11 +158,27 @@ class ConvNeXtBlock(nn.Module):
             # LayerNorm (ops/convnext_pallas.py) — the activation round-trips
             # HBM once instead of three times. Training keeps the
             # differentiable XLA path below (same params).
-            from ...ops.convnext_pallas import dwconv7x7_layernorm
+            from ...ops.convnext_pallas import (convnext_mlp_residual,
+                                                dwconv7x7_layernorm)
 
             kernel, cbias = _ConvParams(self.dim, name="dwconv")()
             scale, nbias = _LNParams(self.dim, name="norm")()
             y = dwconv7x7_layernorm(x, kernel, cbias, scale, nbias)
+            if (not self.use_grn and self.layer_scale_init_value > 0
+                    and _fused_mlp_enabled()):
+                # fused block tail: the (.., 4C) hidden activation stays in
+                # VMEM instead of round-tripping HBM twice (GRN blocks this
+                # path: its global spatial reduction spans row tiles)
+                w1, b1 = _DenseParams(self.dim, 4 * self.dim,
+                                      name="pwconv1")()
+                w2, b2 = _DenseParams(4 * self.dim, self.dim,
+                                      name="pwconv2")()
+                gamma = self.param(
+                    "gamma",
+                    nn.initializers.constant(self.layer_scale_init_value),
+                    (self.dim,), jnp.float32)
+                return convnext_mlp_residual(y, shortcut, w1, b1, w2, b2,
+                                             gamma)
         else:
             y = nn.Conv(
                 self.dim, (7, 7), padding=[(3, 3), (3, 3)],

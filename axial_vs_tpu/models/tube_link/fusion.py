@@ -159,6 +159,72 @@ def panoptic_sem_seg_only_with_query(cls_logits, mask_logits, num_things,
     return pan, query_list
 
 
+def panoptic_sperate_focal(cls_logits, mask_logits, num_things, num_classes,
+                           num_thing_queries, max_per_image=100,
+                           object_mask_thr=0.8, overlap_thr=0.6):
+    """``sperate_focal`` (`maskformer_fusion_head.py:323-386`,
+    panoptic_postprocess_focal_sort_score_sperate): thing candidates are the
+    top-``max_per_image`` entries of the flattened (thing queries x thing
+    classes) score table (a query may yield several candidates under
+    different classes); stuff scores are read off the fixed-slot diagonal
+    (slot k <-> stuff class k); candidates merge through the standard
+    score-sorted prob-mask-argmax pass with counting segment ids.
+
+    NOTE the reference's own version is bit-rotted and crashes as written —
+    `:326` reduces the class axis (``.max(-1)``) that `:329`/`:338` then
+    index, so no config can run it; this is the evident K-Net-style intent.
+    (``joint_focal`` dispatches to a method that does not exist anywhere in
+    the vendored tree, `maskformer_fusion_head.py:531` — dead path, not
+    reproduced.)
+    """
+    prob = _softmax(cls_logits.astype(np.float64), -1)  # (Q, K+1)
+    masks = _sigmoid(mask_logits.astype(np.float64))
+    q_th = num_thing_queries
+    num_stuff = num_classes - num_things
+
+    thing_table = prob[:q_th, :num_things]  # (Q_th, K_th)
+    flat = thing_table.reshape(-1)
+    k = min(max_per_image, flat.size)
+    top = np.argsort(-flat)[:k]
+    thing_scores = flat[top]
+    thing_masks = masks[top // num_things]
+    thing_labels = top % num_things
+
+    stuff_scores = np.asarray([prob[q_th + i, num_things + i]
+                               for i in range(num_stuff)])
+    stuff_order = np.argsort(-stuff_scores)
+    stuff_masks = masks[q_th:q_th + num_stuff][stuff_order]
+    stuff_labels = stuff_order + num_things
+
+    total_masks = np.concatenate([thing_masks, stuff_masks], 0)
+    total_scores = np.concatenate([thing_scores, stuff_scores[stuff_order]])
+    total_labels = np.concatenate([thing_labels, stuff_labels])
+
+    h, w = mask_logits.shape[-2:]
+    pan = np.full((h, w), num_classes, np.int32)
+    if total_masks.shape[0] == 0:
+        return pan
+    cur_mask_ids = (total_scores[:, None, None] * total_masks).argmax(0)
+    segment_id = 0
+    for k in np.argsort(-total_scores):
+        pred_class = int(total_labels[k])
+        isthing = pred_class < num_things
+        if isthing and total_scores[k] < object_mask_thr:
+            continue
+        mask = cur_mask_ids == k
+        mask_area = int(mask.sum())
+        original_area = int((total_masks[k] >= 0.5).sum())
+        if mask_area > 0 and original_area > 0:
+            if mask_area / original_area < overlap_thr:
+                continue
+            segment_id += 1
+            if not isthing:
+                pan[mask] = pred_class
+            else:
+                pan[mask] = pred_class + segment_id * INSTANCE_OFFSET
+    return pan
+
+
 def panoptic_fusion(mode, cls_logits, mask_logits, num_things, num_classes,
                     **kw):
     """Dispatch mirroring the reference's simple_test (:527-545). Returns
@@ -177,6 +243,9 @@ def panoptic_fusion(mode, cls_logits, mask_logits, num_things, num_classes,
     if mode == "sem_seg_only_with_query":
         return panoptic_sem_seg_only_with_query(
             cls_logits, mask_logits, num_things, num_classes)
+    if mode == "sperate_focal":
+        return panoptic_sperate_focal(
+            cls_logits, mask_logits, num_things, num_classes, **kw), []
     raise ValueError(f"unknown panoptic mode {mode!r}")
 
 

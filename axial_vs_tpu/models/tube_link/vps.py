@@ -105,6 +105,12 @@ class TubeLinkVPS(nn.Module):
     num_thing_queries: int = 100
     num_frames: int = 2
     use_temporal_attn: bool = True
+    # 2-frame variant's ``mlp_only`` (`tube_link_vps_2frames.py:44,458-464`):
+    # track embeddings are the linked queries themselves, skipping the
+    # embed-MLP. (Its ``dynamic_conv_cfg`` query-update path is dead in the
+    # reference: no config sets it and the KernelUpdator layer it builds is
+    # absent from the vendored mmdet — deliberately not reproduced.)
+    mlp_only: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -125,9 +131,12 @@ class TubeLinkVPS(nn.Module):
         linked = ThingQueryLink(
             embed_dim=query.shape[-1], dtype=self.dtype, name="thing_link"
         )(thing_query, pre_thing_query)
-        embed_head = TrackEmbedHead(
-            embed_dim=query.shape[-1], dtype=self.dtype, name="track_head"
-        )
+        if self.mlp_only:
+            embed_head = lambda q: q  # noqa: E731
+        else:
+            embed_head = TrackEmbedHead(
+                embed_dim=query.shape[-1], dtype=self.dtype, name="track_head"
+            )
         head_out["thing_query"] = linked
         head_out["thing_query_raw"] = thing_query
         head_out["track_embeds"] = embed_head(linked)
@@ -140,7 +149,8 @@ class TubeLinkVPS(nn.Module):
 def tube_link_vps_train_losses(module, variables, rng, batch, criterion,
                                track_temperature: float = 1.0,
                                track_weight: float = 1.0,
-                               track_aux_weight: float = 1.0):
+                               track_aux_weight: float = 1.0,
+                               ref_mode: bool = False):
     """The reference's key/ref tube training step
     (`tube_link_vps.py:197-445`), static-shaped for TPU:
 
@@ -163,11 +173,19 @@ def tube_link_vps_train_losses(module, variables, rng, batch, criterion,
     key, ref = batch["key"], batch["ref"]
     r_key, r_ref = jax.random.split(rng)
 
-    out_ref, mut = module.apply(
+    # The 2-frame variant (`tube_link_vps_2frames.py:245-339`) trains with a
+    # 1-frame key tube (the current frame) against a multi-frame ref tube;
+    # params are shape-independent of T, so tubes of differing length run
+    # through per-length clones of the same module.
+    def _tube_module(images):
+        t = images.shape[0]
+        return module if t == module.num_frames else module.clone(num_frames=t)
+
+    out_ref, mut = _tube_module(ref["images"]).apply(
         variables, ref["images"], pre_thing_query=None, train=True,
         rngs={"dropout": r_ref}, mutable=["batch_stats"])
     variables = {**variables, **mut}
-    out_key, mut = module.apply(
+    out_key, mut = _tube_module(key["images"]).apply(
         variables, key["images"],
         pre_thing_query=out_ref["thing_query_raw"],
         train=True, rngs={"dropout": r_key}, mutable=["batch_stats"])
@@ -177,7 +195,10 @@ def tube_link_vps_train_losses(module, variables, rng, batch, criterion,
         r_key, out_key, key["targets"], return_assign=True)
     ref_losses, ref_assign = criterion(
         r_ref, out_ref, ref["targets"], return_assign=True)
-    losses.update({f"{k}_ref": v for k, v in ref_losses.items()})
+    if not ref_mode:
+        # ``ref_mode=True`` drops the ref-tube segmentation losses and keeps
+        # only the contrastive pair (`tube_link_vps_2frames.py:342-346`)
+        losses.update({f"{k}_ref": v for k, v in ref_losses.items()})
 
     # ---- contrastive track loss over per-GT matched thing queries --------
     def one_video(key_emb, ref_emb, ka, ra, kt, rt):

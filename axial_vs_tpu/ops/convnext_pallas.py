@@ -107,3 +107,73 @@ def dwconv7x7_layernorm(x, kernel, bias, ln_scale, ln_bias,
             transcendentals=0,
         ),
     )(x, x, x, kw, kb, ls, lb)
+
+
+# ---------------------------------------------------------------------------
+# Fused ConvNeXt MLP: pwconv1 -> GELU(tanh) -> pwconv2 -> *gamma -> +shortcut
+# ---------------------------------------------------------------------------
+
+def _mlp_kernel(x_ref, sc_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
+                out_ref, *, hidden_chunk: int):
+    x = x_ref[:]                                   # (R, C) bf16
+    c = x.shape[-1]
+    hidden = w1_ref.shape[-1]
+    acc = jnp.broadcast_to(b2_ref[0], (x.shape[0], c))
+    # chunk the hidden (4C) axis: GELU is pointwise, so each chunk's
+    # gelu(x @ W1[:, s]) @ W2[s, :] contribution accumulates independently —
+    # the (R, 4C) hidden activation never exists in full, neither in HBM
+    # (XLA materializes it twice) nor in VMEM.
+    for h0 in range(0, hidden, hidden_chunk):
+        h1 = min(h0 + hidden_chunk, hidden)
+        h = jnp.dot(x, w1_ref[:, h0:h1],
+                    preferred_element_type=jnp.float32) + b1_ref[0, h0:h1]
+        # tanh-form GELU (ops/act.py dtype-aware form; delta < 1 bf16 ulp)
+        h = 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654
+                                      * (h + 0.044715 * h * h * h)))
+        acc = acc + jnp.dot(h.astype(x.dtype), w2_ref[h0:h1, :],
+                            preferred_element_type=jnp.float32)
+    out_ref[:] = (sc_ref[:].astype(jnp.float32)
+                  + g_ref[0] * acc).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "hidden_chunk"))
+def convnext_mlp_residual(x, shortcut, w1, b1, w2, b2, gamma,
+                          rows: int = 1024, hidden_chunk: int = 1024):
+    """Fused ConvNeXt block tail (`convnext.py:15-50` pwconv1->gelu->pwconv2
+    ->layer-scale->residual): ``shortcut + gamma * (gelu(x@w1+b1)@w2+b2)``.
+
+    x/shortcut (..., C) bf16; w1 (C, 4C); w2 (4C, C); b1/b2/gamma f32.
+    The hidden (4C) activation stays in VMEM, chunked along 4C — XLA's
+    lowering writes + reads it in HBM (~50 MB per ConvNeXt-L stage-3 block
+    at 769x1345). Inference-only (no VJP); weights ride as bf16 operands
+    with f32 MXU accumulation.
+    """
+    orig_shape = x.shape
+    c = x.shape[-1]
+    hidden = w1.shape[-1]
+    xf = x.reshape(-1, c)
+    scf = shortcut.reshape(-1, c)
+    p = xf.shape[0]
+    grid = (pl.cdiv(p, rows),)
+
+    row_spec = pl.BlockSpec((rows, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel,
+                          hidden_chunk=min(hidden_chunk, hidden)),
+        grid=grid,
+        in_specs=[row_spec, row_spec, full, full, full, full, full],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((p, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * p * c * hidden,
+            bytes_accessed=(2 * p * c * 2 + 2 * c * hidden * 2 + p * c * 2),
+            transcendentals=p * hidden,
+        ),
+    )(xf, scf, w1.astype(x.dtype), b1.astype(jnp.float32).reshape(1, -1),
+      w2.astype(x.dtype), b2.astype(jnp.float32).reshape(1, -1),
+      gamma.astype(jnp.float32).reshape(1, -1))
+    return out.reshape(orig_shape)

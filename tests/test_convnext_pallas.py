@@ -76,6 +76,34 @@ def test_scan_body_disables_fused_in_training(monkeypatch):
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="Pallas kernel lowers on TPU only")
+def test_convnext_mlp_residual_parity_tpu():
+    """Fused pwconv1->gelu->pwconv2->gamma->residual kernel vs the XLA
+    chain, incl. a non-dividing row tail and hidden-axis chunking."""
+    from axial_vs_tpu.ops.act import gelu
+    from axial_vs_tpu.ops.convnext_pallas import convnext_mlp_residual
+
+    rng = np.random.RandomState(0)
+    for (p, c, rows, hc) in [(700, 192, 256, 512), (1030, 768, 512, 1024)]:
+        x = jnp.asarray(rng.randn(p, c), jnp.bfloat16)
+        sc = jnp.asarray(rng.randn(p, c), jnp.bfloat16)
+        w1 = jnp.asarray(rng.randn(c, 4 * c) / np.sqrt(c), jnp.float32)
+        b1 = jnp.asarray(0.1 * rng.randn(4 * c), jnp.float32)
+        w2 = jnp.asarray(rng.randn(4 * c, c) / np.sqrt(4 * c), jnp.float32)
+        b2 = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+        g = jnp.asarray(1e-2 * rng.randn(c), jnp.float32)
+        out = np.asarray(convnext_mlp_residual(
+            x, sc, w1, b1, w2, b2, g, rows=rows, hidden_chunk=hc),
+            np.float32)
+
+        h = gelu(x @ w1.astype(jnp.bfloat16) + b1.astype(jnp.bfloat16))
+        y = h @ w2.astype(jnp.bfloat16) + b2.astype(jnp.bfloat16)
+        ref = np.asarray(sc + (g.astype(jnp.bfloat16) * y), np.float32)
+        # bf16 operands, f32 kernel accumulation vs bf16 XLA chain
+        assert np.abs(out - ref).max() < 0.08
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas kernel lowers on TPU only")
 def test_dwconv_ln_parity_tpu():
     from axial_vs_tpu.ops.convnext_pallas import dwconv7x7_layernorm
 

@@ -262,3 +262,62 @@ def test_vps_keyref_train_step(rng):
         s = jax.tree_util.tree_reduce(
             lambda a, x: a + float(jnp.abs(x).sum()), grads[mod], 0.0)
         assert s > 0.0, mod
+
+
+def test_vps_two_frame_train_step(rng):
+    """The 2-frame variant (`tube_link_vps_2frames.py`): a 1-frame key tube
+    trains against a multi-frame ref tube, ``mlp_only`` uses linked queries
+    directly as track embeddings (no embed-MLP params), and ``ref_mode``
+    drops the ref tube's segmentation losses (:342-346), keeping only the
+    contrastive pair."""
+    from axial_vs_tpu.models.tube_link.criterion import TubeLinkCriterion
+    from axial_vs_tpu.models.tube_link.vps import tube_link_vps_train_losses
+
+    nt_cls, ns_cls, q_th = 3, 2, 6
+    model = TubeLinkVPS(
+        backbone=_r18(), num_things_classes=nt_cls, num_stuff_classes=ns_cls,
+        num_thing_queries=q_th, num_frames=1, mlp_only=True,
+    )
+    images = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    vs = model.init(jax.random.PRNGKey(0), images, train=True)
+    assert "track_head" not in vs["params"]  # mlp_only: no embed-MLP
+    crit = TubeLinkCriterion(
+        num_things=nt_cls, num_stuff=ns_cls, num_points=32, match_points=32,
+        stuff_fixed=True, loss_split=True, exact_matching=False,
+    )
+
+    def make_targets(seed, t):
+        r = np.random.RandomState(seed)
+        return {
+            "labels": jnp.asarray([[0, 1, nt_cls + 1]]),
+            "masks": jnp.asarray(
+                (r.rand(1, 3, t, 8, 12) > 0.5).astype(np.float32)),
+            "valid": jnp.ones((1, 3), bool),
+            "instance_ids": jnp.asarray([[7, 9, -1]]),
+        }
+
+    batch = {
+        "key": {"images": jnp.asarray(rng.randn(1, 32, 48, 3), jnp.float32),
+                "targets": make_targets(1, 1)},
+        "ref": {"images": jnp.asarray(rng.randn(2, 32, 48, 3), jnp.float32),
+                "targets": make_targets(2, 2)},
+    }
+
+    def loss_fn(params):
+        losses, total, _ = tube_link_vps_train_losses(
+            model, {"params": params,
+                    "batch_stats": vs.get("batch_stats", {})},
+            jax.random.PRNGKey(0), batch, crit, ref_mode=True,
+        )
+        return total, losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        vs["params"])
+    assert np.isfinite(float(total))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert "loss_track" in losses and "thing_loss_cls" in losses
+    assert not any(k.endswith("_ref") for k in losses)  # ref_mode
+    s = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), grads["thing_link"], 0.0)
+    assert s > 0.0

@@ -72,3 +72,40 @@ def test_fusion_empty_keep(ref_head):
         cls_logits, mask_logits, num_things=3, num_classes=5), None
     pan, ql = got
     assert (pan == 5).all() and ql == []
+
+
+def test_sperate_focal_sanity(rng):
+    """``sperate_focal`` (intended semantics — the reference's own method is
+    bit-rotted, see fusion.panoptic_sperate_focal docstring): thing topk
+    over the flattened (thing-query x thing-class) table, stuff from the
+    fixed-slot diagonal, score-sorted merge."""
+    from axial_vs_tpu.models.tube_link.fusion import panoptic_sperate_focal
+
+    nt, ns, q_th, h, w = 3, 2, 6, 16, 20
+    q = q_th + ns
+    cls_logits = np.full((q, nt + ns + 1), -4.0, np.float32)
+    mask_logits = np.full((q, h, w), -8.0, np.float32)
+    # thing query 1 strongly predicts class 0 on the left half
+    cls_logits[1, 0] = 8.0
+    mask_logits[1, :, : w // 2] = 8.0
+    # stuff slot 0 (class nt+0) owns the right half
+    cls_logits[q_th + 0, nt + 0] = 8.0
+    mask_logits[q_th + 0, :, w // 2:] = 8.0
+    # stuff slot 1 stays silent -> low score, masked out by argmax
+    pan = panoptic_sperate_focal(
+        cls_logits, mask_logits, num_things=nt, num_classes=nt + ns,
+        num_thing_queries=q_th, max_per_image=10, object_mask_thr=0.5)
+    from axial_vs_tpu.models.tube_link.fusion import INSTANCE_OFFSET
+
+    left = pan[:, : w // 2]
+    right = pan[:, w // 2:]
+    assert (right == nt + 0).all()          # stuff class id, no instance
+    assert (left % INSTANCE_OFFSET == 0).all() and (left // INSTANCE_OFFSET > 0).all()
+    # dispatch path returns (pan, []) like the other non-query modes
+    from axial_vs_tpu.models.tube_link.fusion import panoptic_fusion
+
+    pan2, ql = panoptic_fusion(
+        "sperate_focal", cls_logits, mask_logits, nt, nt + ns,
+        num_thing_queries=q_th, max_per_image=10, object_mask_thr=0.5)
+    np.testing.assert_array_equal(pan, pan2)
+    assert ql == []
