@@ -4,11 +4,11 @@ Measures steady-state frames/sec of the jitted clip-inference step
 (backbone + WC module + video transformer decoder) at the VIPSeg eval
 resolution 769x1345, 2-frame clips, bf16 compute.
 
-Default backbone is R50 (the MaXTron WC R50 recipe); pass
-``--backbone convnext_large`` for the BASELINE.json north-star config.
-(The remote-compile tunnel in this sandbox takes hours for the ConvNeXt-L
-graph; the persistent compile cache under .jax_cache makes warmed repeat
-runs fast.)
+Default backbone is ConvNeXt-L — the BASELINE.json north-star config
+(MaXTron WC ConvNeXt-L VIPSeg inference); pass ``--backbone resnet50``
+for the R50 recipe. (A cold ConvNeXt-L compile over this sandbox's
+remote-compile tunnel takes ~15-20 min; the persistent compile cache under
+.jax_cache makes warmed repeat runs start in seconds.)
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md), so the anchor is MEASURED: `tools/bench_reference_torch.py`
@@ -64,7 +64,7 @@ def reference_anchor_fps(backbone: str):
 
 
 def main():
-    backbone = "resnet50"
+    backbone = "convnext_large"  # the north-star config (BASELINE.json)
     image_size = (769, 1345)
     clip_frames = 2
     argv = sys.argv
