@@ -238,7 +238,7 @@ def get_default_config() -> ConfigNode:
     cfg.dataloader = ConfigNode(dict(num_workers=4, prefetch=2, seed=0))
 
     # ----- test -------------------------------------------------------------
-    cfg.test = ConfigNode(dict(eval_period=5000))
+    cfg.test = ConfigNode(dict(eval_period=5000, dynamic_eval_intervals=[]))
 
     # ----- parallel / runtime ----------------------------------------------
     cfg.parallel = ConfigNode(

@@ -98,7 +98,8 @@ class DVPSClipMapper:
     def __init__(self, *, image_size, num_frames=2, max_instances=100,
                  thing_classes=(), ignore_label=255,
                  pixel_mean=(123.675, 116.28, 103.53),
-                 pixel_std=(58.395, 57.12, 57.375), seed=0):
+                 pixel_std=(58.395, 57.12, 57.375), seed=0,
+                 ref_sample_mode="window", ref_seq_index=(-2, -1, 1, 2)):
         self.image_size = tuple(image_size)
         self.num_frames = num_frames
         self.max_instances = max_instances
@@ -107,15 +108,36 @@ class DVPSClipMapper:
         self.pixel_mean = np.asarray(pixel_mean, np.float32)
         self.pixel_std = np.asarray(pixel_std, np.float32)
         self.rng = np.random.RandomState(seed)
+        # 'window' = contiguous clip (the reference's 'sequence' mode with
+        # consecutive ref_seq_index, `vipseg_dvps.py:410-430`); 'random' =
+        # key frame + refs at random offsets from ref_seq_index
+        # (`vipseg_dvps.py:393-409` — the jittered-pair sampling the 2-frame
+        # VPS trainer uses; out-of-range offsets fall back to the key).
+        if ref_sample_mode not in ("window", "random"):
+            raise ValueError(f"unknown ref_sample_mode {ref_sample_mode!r}")
+        self.ref_sample_mode = ref_sample_mode
+        self.ref_seq_index = tuple(ref_seq_index)
+
+    def _sample_indices(self, n_frames: int):
+        t = self.num_frames
+        if self.ref_sample_mode == "random":
+            key = int(self.rng.randint(n_frames))
+            idxs = [key]
+            for _ in range(t - 1):
+                cands = [key + o for o in self.ref_seq_index
+                         if 0 <= key + o < n_frames]
+                idxs.append(int(cands[self.rng.randint(len(cands))])
+                            if cands else key)
+            return idxs
+        if n_frames <= t:
+            return list(range(n_frames)) + [n_frames - 1] * (t - n_frames)
+        s = self.rng.randint(0, n_frames - t + 1)
+        return list(range(s, s + t))
 
     def __call__(self, video, dataset=None):
         frames = video["frames"]
         t = self.num_frames
-        if len(frames) <= t:
-            idxs = list(range(len(frames))) + [len(frames) - 1] * (t - len(frames))
-        else:
-            s = self.rng.randint(0, len(frames) - t + 1)
-            idxs = list(range(s, s + t))
+        idxs = self._sample_indices(len(frames))
 
         th, tw = self.image_size
         h4, w4 = (th + 3) // 4, (tw + 3) // 4

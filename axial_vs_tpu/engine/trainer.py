@@ -143,12 +143,29 @@ class Trainer:
         }
 
     def train(self, resume: bool = False, max_iter: int | None = None,
-              eval_fn=None):
+              eval_fn=None, dynamic_eval_intervals=None):
         """eval_fn(variables_dict) -> metrics dict, run every
-        cfg.test.eval_period steps (the EvalHook equivalent, SURVEY T15)."""
+        cfg.test.eval_period steps (the EvalHook equivalent, SURVEY T15).
+
+        ``dynamic_eval_intervals``: [(milestone_step, interval), ...] —
+        past each milestone the eval period switches to that interval
+        (mmdet EvalHook ``dynamic_intervals``,
+        `apis/hook/eval_hook.py:31-40`; e.g. [(9000, 500)] evaluates every
+        500 steps for the final 1000 of a 10k run). Falls back to
+        cfg.test.dynamic_eval_intervals when unset.
+        """
+        import bisect
+
         self.resume_or_load(resume)
         max_iter = max_iter or self.cfg.solver.max_iter
         eval_period = self.cfg.test.eval_period
+        if dynamic_eval_intervals is None:
+            dynamic_eval_intervals = (
+                self.cfg.test.get("dynamic_eval_intervals", None) or None)
+        milestones, intervals = [0], [eval_period]
+        for m, iv in sorted(dynamic_eval_intervals or []):
+            milestones.append(int(m))
+            intervals.append(int(iv))
         start = int(self.state.step)
         it = device_prefetch(iter(self.loader), self._place_batch, depth=1)
         rng = jax.random.PRNGKey(self.cfg.seed + 1)
@@ -163,8 +180,10 @@ class Trainer:
                     step + 1
                 ) == max_iter or self.ckpt.preempted:
                     self.ckpt.save(step + 1, jax.device_get(self.state), force=True)
+                cur_period = intervals[
+                    bisect.bisect(milestones, step + 1) - 1]
                 if eval_fn is not None and (
-                    (step + 1) % eval_period == 0 or (step + 1) == max_iter
+                    (step + 1) % cur_period == 0 or (step + 1) == max_iter
                 ):
                     results = eval_fn(
                         {"params": self.state.params,

@@ -9,6 +9,10 @@ from reference_shims import load_cc_module
 from axial_vs_tpu.models.cc_module import CrossClipTrackingModule
 from test_kmax_parity import _bn, _convbn, _randomize_bn_stats
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def _lin(tl):
     return {"kernel": jnp.asarray(tl.weight.detach().numpy().T),

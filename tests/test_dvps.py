@@ -115,3 +115,29 @@ def test_dvps_depth_pipeline(tmp_path, rng):
                              max_instances=8, thing_classes=(1,))(
         load_dvps_sequences(img_root, lbl_root)[0])
     assert "depths" not in sample2["targets"]
+
+
+def test_random_ref_sampling(tmp_path):
+    """'random' ref-sample mode (`vipseg_dvps.py:393-409`): clip = key frame
+    + refs at offsets from ref_seq_index, always in range, key first."""
+    from axial_vs_tpu.data.dvps import DVPSClipMapper
+
+    mapper = DVPSClipMapper(image_size=(16, 24), num_frames=2,
+                            thing_classes=(1,), seed=3,
+                            ref_sample_mode="random",
+                            ref_seq_index=(-2, -1, 1, 2))
+    seen_offsets = set()
+    for _ in range(50):
+        idxs = mapper._sample_indices(10)
+        assert len(idxs) == 2
+        key, ref = idxs
+        assert 0 <= key < 10 and 0 <= ref < 10
+        assert ref - key in (-2, -1, 1, 2) or ref == key
+        seen_offsets.add(ref - key)
+    assert len(seen_offsets) > 2  # actually randomized
+    # single-frame video: ref falls back to the key
+    assert mapper._sample_indices(1) == [0, 0]
+    import pytest
+
+    with pytest.raises(ValueError):
+        DVPSClipMapper(image_size=(16, 24), ref_sample_mode="bogus")

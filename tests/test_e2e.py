@@ -12,6 +12,10 @@ from axial_vs_tpu.data.panoptic_utils import id2rgb
 from axial_vs_tpu.data.catalog import DatasetCatalog, MetadataCatalog
 from axial_vs_tpu.data.vipseg import register_vipseg_video
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def _tiny_cfg(tmp_name):
     cfg = get_default_config()
@@ -129,3 +133,32 @@ def test_short_training_run(tiny_dataset, tmp_path):
     trainer.loader.close()
     # checkpoint written and resumable
     assert trainer.ckpt.latest_step() == 2
+
+
+def test_dynamic_eval_intervals(tiny_dataset, tmp_path):
+    """mmdet EvalHook dynamic_intervals semantics (T15,
+    `apis/hook/eval_hook.py:31-40`): past each milestone the eval period
+    switches — [(3, 1)] with base period 2 evaluates at 2, 3, 4, 5, 6."""
+    from axial_vs_tpu.engine.trainer import Trainer
+
+    cfg = _tiny_cfg(tiny_dataset)
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.solver.max_iter = 6
+    cfg.solver.checkpoint_period = 6
+    cfg.model.kmax.pixel_insdis_sample_k = 32
+    cfg.model.kmax.aux_semantic_sample_k = 32
+    cfg.test.eval_period = 2
+    cfg.test.dynamic_eval_intervals = [[3, 1]]
+    cfg.freeze()
+    trainer = Trainer(cfg)
+    seen = []
+
+    def eval_fn(variables):
+        seen.append(True)
+        return {"ok": 1.0}
+
+    trainer.train(eval_fn=eval_fn)
+    trainer.loader.close()
+    # steps 1..6 with period 2 until milestone 3, then period 1:
+    # evals at 2, 3, 4, 5, 6
+    assert len(seen) == 5

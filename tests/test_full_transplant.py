@@ -13,6 +13,10 @@ import torch
 import jax
 import jax.numpy as jnp
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 sys.path.insert(0, "tools")
 
 

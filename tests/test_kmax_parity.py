@@ -16,6 +16,10 @@ from reference_shims import load_kmax_pixel_decoder, load_kmax_transformer_decod
 from axial_vs_tpu.layers.axial_attention import AxialAttention
 from axial_vs_tpu.layers.kmax_layers import KMaXTransformerLayer
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def _bn(ref_bn):
     params = {"scale": jnp.asarray(ref_bn.weight.detach().numpy()),

@@ -10,6 +10,10 @@ import torch.nn.functional as TF
 
 from axial_vs_tpu.ops.msda import ms_deform_attn
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def torch_msda_oracle(value, spatial_shapes, locs, weights):
     """Independent torch implementation via grid_sample: value (B,S,M,D),

@@ -8,6 +8,10 @@ from axial_vs_tpu.parallel.mesh import build_mesh, shard_batch, replicate
 from axial_vs_tpu.parallel.sharding import activation_sharding, constrain
 from axial_vs_tpu.parallel.distributed import gather_object, is_main_process
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def test_constrain_noop_without_mesh():
     x = jnp.ones((4, 8))

@@ -8,6 +8,10 @@ from reference_shims import load_kmax_pixel_decoder
 from axial_vs_tpu.models.pixel_decoder import KMaXPixelDecoder
 from test_kmax_parity import _bn, _convbn, _randomize_bn_stats
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def _ln(tl):
     return {"scale": jnp.asarray(tl.weight.detach().numpy()),

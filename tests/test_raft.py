@@ -11,6 +11,10 @@ from axial_vs_tpu.models.raft import (
 from axial_vs_tpu.utils.torch_convert import convert_raft
 from reference_shims import load_raft
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def test_corr_pyramid_and_lookup_match_torch(rng):
     mod = load_raft()

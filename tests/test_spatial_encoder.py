@@ -10,6 +10,10 @@ from reference_shims import load_spatial_encoder
 from axial_vs_tpu.models.spatial_encoder import KMaXSpatialEncoder
 from test_wc_parity import _lin, _ln, _proj_gn, _spatial_layer, _ta
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def _traj_layer(tmod):
     return {

@@ -4,9 +4,15 @@ import jax
 import jax.numpy as jnp
 
 from axial_vs_tpu.models.backbones.swin import (
+
     SwinTransformer, window_partition, window_reverse, shifted_window_mask,
     relative_position_index,
 )
+
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
 
 
 def test_window_roundtrip(rng):

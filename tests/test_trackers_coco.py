@@ -12,6 +12,10 @@ from axial_vs_tpu.evaluation.pq import pq_compute
 from axial_vs_tpu.data.panoptic_utils import id2rgb
 from axial_vs_tpu.data.coco import load_coco_panoptic_json, CocoPanopticMapper
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def test_minivis_tracker(rng):
     tr = MiniVISTracker()

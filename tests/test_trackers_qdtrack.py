@@ -10,6 +10,10 @@ from axial_vs_tpu.trackers.similarity import (
     cal_similarity, l2_similarity_loss)
 from reference_shims import load_qdtrack_trackers
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def _frames(rng, num_frames=5, n=6, embed_dim=16, size=24):
     out = []

@@ -17,9 +17,15 @@ sys.path.insert(
 import temporal_attention as ref_ta  # noqa: E402
 
 from axial_vs_tpu.layers.trajectory_attention import (  # noqa: E402
+
     TrajectoryAttention,
     TemporalAxialTrajectoryAttentionLayer,
 )
+
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
 
 
 def _linear_params(tl):

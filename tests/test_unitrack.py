@@ -13,6 +13,10 @@ from axial_vs_tpu.trackers.unitrack import (
 from axial_vs_tpu.trackers.kalman import KalmanFilter
 from reference_shims import load_unitrack
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def _scene(rng, num_frames=6, n=5):
     """Moving boxes with consistent features + per-frame jitter/dropout."""

@@ -9,6 +9,10 @@ from reference_shims import load_maxtron_transformer_decoder
 from axial_vs_tpu.models.transformer_decoder import KMaXTransformerDecoder
 from test_kmax_parity import _bn, _convbn, _randomize_bn_stats
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def _transplant_layer(ref):
     """reference kMaXTransformerLayer -> (params, stats) (same mapping as

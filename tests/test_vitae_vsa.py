@@ -11,6 +11,10 @@ from axial_vs_tpu.ops.grid_sample import grid_sample_bilinear
 from axial_vs_tpu.utils.torch_convert import convert_vitae_vsa
 from reference_shims import load_vitae_vsa
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def test_grid_sample_matches_torch(rng):
     img = rng.randn(2, 9, 13, 5).astype(np.float32)

@@ -11,6 +11,10 @@ import torch
 from reference_shims import load_wc_msdeformattn
 from axial_vs_tpu.models.wc_module import WithinClipTrackingModule
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.parity
+
 
 def _lin(tl):
     return {"kernel": jnp.asarray(tl.weight.detach().numpy().T),
