@@ -83,21 +83,25 @@ class TrajectoryAttention(nn.Module):
             k = _dense(self.dim, self.dim, "k", self.dtype)(key)
             v = _dense(self.dim, self.dim, "v", self.dtype)(value)
 
-        # (B, h, N, d)
-        q = q.reshape(b, n_tokens, h, d).transpose(0, 2, 1, 3)
-        k = k.reshape(b, n_tokens, h, d).transpose(0, 2, 1, 3)
-        v = v.reshape(b, n_tokens, h, d).transpose(0, 2, 1, 3)
+        # head split WITHOUT head-major transposes: the einsums below index
+        # h in place, so the head moves ride inside dot_general operand
+        # layouts instead of materializing (profiled ~1.2 ms/clip of
+        # transpose/reshape fusions in the WC temporal encoders)
+        q = q.reshape(b, n_tokens, h, d)
+        k = k.reshape(b, n_tokens, h, d)
+        v = v.reshape(b, n_tokens, h, d)
 
         # stage 1: spatial softmax per frame -> per-frame trajectory aggregation
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).reshape(b, h, n_tokens, f, n)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).reshape(b, h, n_tokens, f, n)
         space_attn = jax.nn.softmax(
             (scale * logits).astype(jnp.float32), axis=-1
         ).astype(v.dtype)
-        vf = v.reshape(b, h, f, n, d)
-        traj = jnp.einsum("bhqfn,bhfnd->bhqfd", space_attn, vf)  # (B,h,N,F,d)
+        vf = v.reshape(b, f, n, h, d)
+        # output directly token-major (B, N, F, h, d): no post-transpose
+        traj = jnp.einsum("bhqfn,bfnhd->bqfhd", space_attn, vf)
 
         # stage 2: temporal attention along the trajectory
-        x = traj.transpose(0, 2, 3, 1, 4).reshape(b, n_tokens, f, h * d)  # (B,N,F,hd)
+        x = traj.reshape(b, n_tokens, f, h * d)  # (B,N,F,hd)
         # diagonal: token s in frame g keeps its own frame's aggregation
         x5 = x.reshape(b, f, n, f, h * d)
         x_diag = jnp.diagonal(x5, axis1=1, axis2=3)  # (B, n, hd, F)
@@ -106,13 +110,13 @@ class TrajectoryAttention(nn.Module):
         q2 = _dense(self.dim, self.dim, "proj_q", self.dtype)(x_diag)
         kv2 = _dense(self.dim * 2, self.dim, "proj_kv", self.dtype)(x)
         k2, v2 = jnp.split(kv2, 2, axis=-1)
-        q2 = q2.reshape(b, n_tokens, h, d).transpose(0, 2, 1, 3) * scale
-        k2 = k2.reshape(b, n_tokens, f, h, d).transpose(0, 3, 1, 2, 4)
-        v2 = v2.reshape(b, n_tokens, f, h, d).transpose(0, 3, 1, 2, 4)
-        t_logits = jnp.einsum("bhsd,bhsfd->bhsf", q2, k2)
+        q2 = q2.reshape(b, n_tokens, h, d) * scale
+        k2 = k2.reshape(b, n_tokens, f, h, d)
+        v2 = v2.reshape(b, n_tokens, f, h, d)
+        t_logits = jnp.einsum("bshd,bsfhd->bshf", q2, k2)
         t_attn = jax.nn.softmax(t_logits.astype(jnp.float32), axis=-1).astype(v2.dtype)
-        out = jnp.einsum("bhsf,bhsfd->bhsd", t_attn, v2)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n_tokens, self.dim)
+        out = jnp.einsum("bshf,bsfhd->bshd", t_attn, v2)
+        out = out.reshape(b, n_tokens, self.dim)
         out = _dense(self.dim, self.dim, "proj", self.dtype)(out)
         if return_attn:
             return out, space_attn
