@@ -266,7 +266,7 @@ class TubeLinkVPSInference:
     def __init__(self, module, variables, *, clip_len, num_things_classes,
                  num_stuff_classes, label_divisor=None, score_thr=0.3,
                  panoptic_mode="with_query", object_mask_thr=None,
-                 iou_thr=0.8):
+                 iou_thr=0.8, tracker_kwargs=None):
         from .fusion import INSTANCE_OFFSET
 
         self.module = module
@@ -282,7 +282,7 @@ class TubeLinkVPSInference:
             object_mask_thr if object_mask_thr is not None
             else (0.3 if panoptic_mode == "sort_with_query" else 0.8))
         self.iou_thr = iou_thr
-        self.tracker = QuasiDenseEmbedTracker()
+        self.tracker = QuasiDenseEmbedTracker(**(tracker_kwargs or {}))
         self._pre_thing_query = None
 
         @jax.jit
@@ -358,3 +358,52 @@ class TubeLinkVPSInference:
                 new_inst = tid + 1 if tid >= 0 else 0
                 pan[src == pid] = clip_labels[idx] + new_inst * off
         return np.stack(pans)
+
+    def process_window_instance(self, images: np.ndarray, frame_id: int,
+                                max_per_frame: int = 30,
+                                score_thr: float | None = None):
+        """VIS-style cross-window instance id-carry (the reference's
+        ``match_instance``, `tube_link_vps.py:638-679`): the window's thing
+        queries above ``score_thr`` become per-frame instance results, the
+        UNIQUE query set is embedded through the track head and matched
+        against tracker memory, and every detection carries its persistent
+        track id (the reference writes ``new_ids + 1001`` into the bbox id
+        column — the +1000 only namespaces ids away from panoptic labels in
+        mmdet's encoding; here ids are returned directly).
+
+        Returns a list of ``{"labels", "scores", "masks", "track_ids"}``
+        per frame (masks (K, h, w) bool; track_ids -1 = unmatched/dropped).
+        """
+        pre = self._pre_thing_query
+        if pre is None:
+            pre = jnp.zeros((1, 0, 256), jnp.float32)
+        cls_logits, masks, embeds, thing_query = self._window_forward(
+            jnp.asarray(images), pre)
+        self._pre_thing_query = thing_query
+
+        cls_logits = np.asarray(cls_logits, np.float32)
+        masks = np.asarray(masks, np.float32)      # (T, Q, h, w)
+        embeds = np.asarray(embeds, np.float32)    # (Q_thing, C)
+        n_thing_q = embeds.shape[0]
+        thr = self.score_thr if score_thr is None else score_thr
+
+        prob = np.exp(cls_logits - cls_logits.max(-1, keepdims=True))
+        prob /= prob.sum(-1, keepdims=True)
+        thing_prob = prob[:n_thing_q, : self.num_things]  # (Q_th, K_th)
+        scores = thing_prob.max(-1)
+        labels = thing_prob.argmax(-1)
+        keep = np.nonzero(scores > thr)[0][:max_per_frame]
+
+        track_ids = (self.tracker.match(
+            embeds[keep], labels[keep], scores[keep], frame_id)
+            if len(keep) else np.zeros((0,), np.int64))
+
+        out = []
+        for ti in range(masks.shape[0]):
+            out.append(dict(
+                labels=labels[keep].astype(np.int64),
+                scores=scores[keep].astype(np.float32),
+                masks=masks[ti, keep] > 0,
+                track_ids=np.asarray(track_ids, np.int64),
+            ))
+        return out

@@ -56,7 +56,8 @@ class QuasiDenseEmbedTracker:
                 t2d = _softmax(sim, 0)
                 match_scores = (d2t + t2d) / 2
             else:  # cosine
-                a = embeds / np.maximum(np.linalg.norm(embeds, 1e-12), 1e-12)
+                a = embeds / np.maximum(
+                    np.linalg.norm(embeds, axis=1, keepdims=True), 1e-12)
                 b = memo_embeds / np.maximum(
                     np.linalg.norm(memo_embeds, axis=1, keepdims=True), 1e-12
                 )

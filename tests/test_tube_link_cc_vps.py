@@ -321,3 +321,43 @@ def test_vps_two_frame_train_step(rng):
     s = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.abs(x).sum()), grads["thing_link"], 0.0)
     assert s > 0.0
+
+
+def test_vps_instance_id_carry(rng):
+    """``match_instance`` behavior (`tube_link_vps.py:638-679`): per-frame
+    instance results carry PERSISTENT track ids across windows — replaying
+    identical windows must re-match every detection to the same id."""
+    t = 2
+    model = TubeLinkVPS(
+        backbone=_r18(), num_things_classes=3, num_stuff_classes=2,
+        num_thing_queries=6, num_frames=t,
+    )
+    images = jnp.zeros((t, 32, 48, 3), jnp.float32)
+    vs = model.init(jax.random.PRNGKey(0), images, train=False)
+    # cosine matching: bisoftmax needs TRAINED (large-magnitude) embeddings
+    # to be non-uniform — random-init embeds make it ~1/N < match_score_thr
+    pipeline = TubeLinkVPSInference(
+        model, vs, clip_len=t, num_things_classes=3, num_stuff_classes=2,
+        tracker_kwargs=dict(match_metric="cosine"),
+    )
+    pipeline.init_memory()
+    win = rng.randn(t, 32, 48, 3).astype(np.float32)
+    res0 = pipeline.process_window_instance(win, 0, score_thr=0.0)
+    assert len(res0) == t
+    k = len(res0[0]["labels"])
+    assert k > 0
+    assert res0[0]["masks"].shape == (k, 8, 12)
+    assert res0[0]["masks"].dtype == bool
+    # every frame of the window shares the window-level detections/ids
+    np.testing.assert_array_equal(res0[0]["track_ids"], res0[1]["track_ids"])
+    first_ids = res0[0]["track_ids"]
+    assert (first_ids >= 0).any()
+
+    # identical second window with identical link state: same embeddings
+    # must re-match to the SAME persistent ids (the id-carry contract).
+    # (pre_thing_query is reset so the forward — and thus the embeddings —
+    # is bit-identical; the tracker memory is NOT reset.)
+    pipeline._pre_thing_query = None
+    res1 = pipeline.process_window_instance(win, 1, score_thr=0.0)
+    m0 = first_ids >= 0
+    np.testing.assert_array_equal(res1[0]["track_ids"][m0], first_ids[m0])
