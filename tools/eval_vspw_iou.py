@@ -14,6 +14,15 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# The sandbox's sitecustomize imports jax at interpreter startup, so
+# JAX_PLATFORMS in the environment is read too early — honor it here
+# (same trick as tools/train_net_video.py).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 import numpy as np
 from PIL import Image
 
