@@ -129,3 +129,89 @@ def evaluate_vipseg(cfg, module, variables, max_videos: int | None = None,
     if stq is not None:
         results["stq"] = stq.result()
     return results
+
+
+def evaluate_ytvis(cfg, module, variables, max_videos: int | None = None,
+                   format_only_path: str | None = None):
+    """Whole-video VIS evaluation over the test split — the reference's
+    `tools/test_video.py` workflow (`video_inference/test_video.py:49-85`):
+    tube-split inference per video, YTVIS submission JSON via
+    ``format_only_path`` (the reference's ``--format-only`` server-upload
+    path, `docs/TRAIN_EVALUATION_MODELS.md:23`), and devkit AP when the
+    split carries GT annotations (train/valid-with-GT only — the public
+    val GT is server-side).
+    """
+    import json
+
+    from ..data.ytvis import results_to_ytvis_json
+    from ..evaluation.ytvis_eval import YTVISEvaluator
+    from ..models.tube_link.detector import TubeLinkVISInference
+    from ..models.video_inference import preprocess_frames
+
+    name = cfg.datasets.test[0]
+    videos = DatasetCatalog.get(name)
+    meta = MetadataCatalog.get(name)
+    cont_to_ds = list(getattr(meta, "contiguous_to_dataset_id", []))
+
+    pipeline = TubeLinkVISInference(
+        module, variables,
+        clip_len=cfg.model.tube_link.clip_len,
+        overlap=cfg.model.tube_link.overlap,
+        topk=cfg.model.tube_link.test_topk,
+    )
+
+    instances_per_video = []
+    gt_records = []
+    for vi, video in enumerate(videos):
+        if max_videos is not None and vi >= max_videos:
+            break
+        frames = np.stack([
+            np.asarray(Image.open(p).convert("RGB"))
+            for p in video["file_names"]
+        ])
+        oh, ow = video["height"], video["width"]
+        images, scaled_h, scaled_w, _ = preprocess_frames(
+            frames, cfg.input.pixel_mean, cfg.input.pixel_std,
+            cfg.input.image_size,
+        )
+        result = pipeline.run_video(np.asarray(images))
+        # OS4 padded logits -> original-resolution probabilities: crop the
+        # valid (scaled) region, then PIL-bilinear per frame (host-side,
+        # like the reference's interpolate-before-fusion)
+        k, v = result["masks"].shape[:2]
+        h4 = (scaled_h + 3) // 4
+        w4 = (scaled_w + 3) // 4
+        probs = 1.0 / (1.0 + np.exp(-result["masks"]))  # logits -> probs
+        up = np.zeros((k, v, oh, ow), np.float32)
+        for ki in range(k):
+            for fi in range(v):
+                m = probs[ki, fi][:h4, :w4]
+                up[ki, fi] = np.asarray(
+                    Image.fromarray(m).resize((ow, oh), Image.BILINEAR))
+        labels_ds = (
+            np.asarray([cont_to_ds[int(c)] for c in result["labels"]])
+            if cont_to_ds else result["labels"])
+        instances_per_video.append((
+            video["video_id"],
+            dict(masks=up, labels=labels_ds, scores=result["scores"]),
+        ))
+        for ann in video.get("annotations", []):
+            gt_records.append(dict(
+                video_id=video["video_id"],
+                category_id=ann["category_id"],
+                segmentations=ann.get("segmentations"),
+                areas=ann.get("areas"),
+                iscrowd=ann.get("iscrowd", 0),
+            ))
+
+    preds = results_to_ytvis_json(instances_per_video)
+    out = {"num_videos": len(instances_per_video),
+           "num_predictions": len(preds)}
+    if format_only_path:
+        # submission masks must be RLE of binary {0,1} uint8
+        with open(format_only_path, "w") as f:
+            json.dump(preds, f)
+        out["results_json"] = format_only_path
+    if gt_records:
+        out.update(YTVISEvaluator().evaluate(gt_records, preds))
+    return out

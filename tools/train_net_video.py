@@ -29,6 +29,10 @@ def parse_args():
     ap.add_argument("--config-file", required=True)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--format-only", default=None, metavar="OUT_JSON",
+                    help="VIS: dump YTVIS submission JSON instead of/along "
+                         "with metrics (reference tools/test_video.py "
+                         "--format-only)")
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize() for multi-host")
     ap.add_argument("--opts", nargs=argparse.REMAINDER, default=[])
@@ -61,13 +65,20 @@ def main():
 
     trainer = Trainer(cfg)
     if args.eval_only:
-        from axial_vs_tpu.engine.evaluator_loop import evaluate_vipseg
+        from axial_vs_tpu.engine.evaluator_loop import (evaluate_vipseg,
+                                                        evaluate_ytvis)
 
         trainer.resume_or_load(resume=args.resume)
-        results = evaluate_vipseg(cfg, trainer.module, {
+        variables = {
             "params": trainer.state.params,
             "batch_stats": trainer.state.batch_stats,
-        })
+        }
+        test_name = cfg.datasets.test[0]
+        if test_name.startswith(("ytvis", "ovis")) or args.format_only:
+            results = evaluate_ytvis(cfg, trainer.module, variables,
+                                     format_only_path=args.format_only)
+        else:
+            results = evaluate_vipseg(cfg, trainer.module, variables)
         print(results)
         return
     trainer.train(resume=args.resume)
