@@ -215,3 +215,105 @@ def evaluate_ytvis(cfg, module, variables, max_videos: int | None = None,
     if gt_records:
         out.update(YTVISEvaluator().evaluate(gt_records, preds))
     return out
+
+
+def evaluate_coco_panoptic(cfg, module, variables,
+                           max_images: int | None = None):
+    """Single-image panoptic PQ over a COCO-panoptic-format split
+    (reference `kmax_deeplab/evaluation/panoptic_evaluation.py:80-195`):
+    per image — kMaX forward at the padded train size, mask logits
+    upsampled (bilinear, matching `kmax_model.py`'s interpolate-before-
+    postprocess) to original resolution, vectorized panoptic postprocess,
+    PQ (all/things/stuff) against the GT panoptic PNG. Also serves the
+    ADE20k / Cityscapes registrations (same record format)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..evaluation.pq import pq_compute
+    from ..models.postprocess import panoptic_inference
+    from ..models.video_inference import preprocess_frames
+    from ..ops.resize import resize_bilinear
+
+    name = cfg.datasets.test[0]
+    records = DatasetCatalog.get(name)
+    meta = MetadataCatalog.get(name)
+    num_classes = len(meta.contiguous_to_dataset_id)
+    thing_mask = np.zeros((num_classes,), bool)
+    for _, ci in meta.thing_dataset_id_to_contiguous_id.items():
+        thing_mask[ci] = True
+    ds_to_cont = {ds: i for i, ds in enumerate(meta.contiguous_to_dataset_id)}
+    kt = cfg.model.kmax.test
+    divisor = meta.label_divisor
+
+    @jax.jit
+    def infer(x):
+        out = module.apply(variables, x, train=False)
+        return out["pred_logits"][0], out["pred_masks"][0]
+
+    images = []
+    for rec in records[: max_images or len(records)]:
+        frame = np.asarray(Image.open(rec["file_name"]).convert("RGB"))
+        oh, ow = frame.shape[:2]
+        x, scaled_h, scaled_w, _ = preprocess_frames(
+            frame[None], cfg.input.pixel_mean, cfg.input.pixel_std,
+            cfg.input.image_size)
+        logits, masks = infer(jnp.asarray(x))
+        masks = resize_bilinear(
+            masks, cfg.input.image_size,
+            align_corners=cfg.input.image_size[1] % 2 == 1,
+        )[:scaled_h, :scaled_w]
+        masks = resize_bilinear(masks, (oh, ow),
+                                align_corners=cfg.input.image_size[1] % 2 == 1)
+        result = panoptic_inference(
+            logits, masks, jnp.asarray(thing_mask),
+            pixel_confidence_threshold=kt.pixel_confidence_threshold,
+            class_threshold_thing=kt.class_threshold_thing,
+            class_threshold_stuff=kt.class_threshold_stuff,
+            overlap_threshold=kt.overlap_threshold,
+            reorder_class_weight=kt.reorder_class_weight,
+            reorder_mask_weight=kt.reorder_mask_weight,
+        )
+        # encode prediction ids as cat*divisor + segment_id (things) / cat
+        # (stuff), mirroring the video evaluator's dataset encoding
+        pan = np.asarray(result.panoptic_seg)
+        pred_ids = np.full(pan.shape, -1, np.int64)
+        pred_segments = {}
+        for valid, sid, cat, isthing in zip(
+                np.asarray(result.segment_valid),
+                np.asarray(result.segment_id),
+                np.asarray(result.segment_category),
+                np.asarray(result.segment_isthing)):
+            if not valid:
+                continue
+            gid = int(cat) * divisor + int(sid) if isthing else int(cat)
+            pred_ids[pan == sid] = gid
+            pred_segments[gid] = {"category_id": int(cat)}
+
+        pan_gt = rgb2id(np.asarray(
+            Image.open(rec["pan_seg_file_name"]).convert("RGB")))
+        gt = np.full(pan_gt.shape, -1, np.int64)
+        gt_segments = {}
+        for seg in rec["segments_info"]:
+            cat = ds_to_cont.get(seg["category_id"], None)
+            if cat is None:
+                continue
+            m = pan_gt == seg["id"]
+            gid = (cat * divisor + seg["id"]
+                   if seg.get("isthing", thing_mask[cat]) else cat)
+            gt[m] = gid
+            gt_segments[int(gid)] = {
+                "category_id": int(cat),
+                "iscrowd": int(seg.get("iscrowd", 0)),
+            }
+
+        # VOID = 0 encoding for the PQ core (ids are >= 0 here)
+        images.append((
+            np.where(gt < 0, 0, gt + 1),
+            np.where(pred_ids < 0, 0, pred_ids + 1),
+            {g + 1: i for g, i in gt_segments.items()},
+            {p + 1: i for p, i in pred_segments.items()},
+        ))
+
+    categories = {i: {"isthing": int(thing_mask[i])}
+                  for i in range(num_classes)}
+    return pq_compute(images, categories)

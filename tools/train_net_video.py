@@ -65,8 +65,8 @@ def main():
 
     trainer = Trainer(cfg)
     if args.eval_only:
-        from axial_vs_tpu.engine.evaluator_loop import (evaluate_vipseg,
-                                                        evaluate_ytvis)
+        from axial_vs_tpu.engine.evaluator_loop import (
+            evaluate_coco_panoptic, evaluate_vipseg, evaluate_ytvis)
 
         trainer.resume_or_load(resume=args.resume)
         variables = {
@@ -77,6 +77,8 @@ def main():
         if test_name.startswith(("ytvis", "ovis")) or args.format_only:
             results = evaluate_ytvis(cfg, trainer.module, variables,
                                      format_only_path=args.format_only)
+        elif test_name.startswith(("coco", "ade20k", "cityscapes_fine")):
+            results = evaluate_coco_panoptic(cfg, trainer.module, variables)
         else:
             results = evaluate_vipseg(cfg, trainer.module, variables)
         print(results)
