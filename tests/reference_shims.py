@@ -399,14 +399,6 @@ def load_qdtrack_trackers():
         except (ImportError, ValueError):
             pass
         stubs[name] = types.ModuleType(name)
-    if "mmcv" in stubs:
-        stubs["mmcv"].image = stubs["mmcv.image"]
-        stubs["mmcv"].visualization = stubs["mmcv.visualization"]
-        stubs["mmcv.image"].imread = lambda *a, **k: None
-        stubs["mmcv.image"].imwrite = lambda *a, **k: None
-        stubs["mmcv.visualization"].color_val = lambda *a, **k: (0, 0, 0)
-        stubs["mmcv.visualization"].imshow = lambda *a, **k: None
-        stubs["mmcv"].color_val = lambda *a, **k: (0, 0, 0)
     mmdet_core = types.ModuleType("mmdet.core")
     mmdet_core.bbox_overlaps = _bbox_overlaps
     if "mmdet" not in sys.modules:
@@ -431,6 +423,30 @@ def load_qdtrack_trackers():
     builder.TRACKERS = _Reg()
     stubs["reftrk.qdtrack.builder"] = builder
     sys.modules.update(stubs)
+    # Normalize attributes on the EFFECTIVE mmcv stubs regardless of who
+    # created them: another loader (e.g. load_maskformer_fusion_head) may
+    # have left a bare ``mmcv`` module earlier in the process, in which
+    # case the submodules above were created here but the old
+    # only-when-we-made-mmcv wiring skipped them — tao_tracker's
+    # ``from mmcv.image import imread`` then failed whenever
+    # test_vps_fusion ran before test_trackers_qdtrack (order-dependent
+    # full-suite failure, round 2).
+    mm = sys.modules.get("mmcv")
+    mi = sys.modules.get("mmcv.image")
+    mv = sys.modules.get("mmcv.visualization")
+    if mi is not None and not hasattr(mi, "imread"):
+        mi.imread = lambda *a, **k: None
+        mi.imwrite = lambda *a, **k: None
+    if mv is not None and not hasattr(mv, "color_val"):
+        mv.color_val = lambda *a, **k: (0, 0, 0)
+        mv.imshow = lambda *a, **k: None
+    if mm is not None:
+        if mi is not None and not hasattr(mm, "image"):
+            mm.image = mi
+        if mv is not None and not hasattr(mm, "visualization"):
+            mm.visualization = mv
+        if not hasattr(mm, "color_val"):
+            mm.color_val = lambda *a, **k: (0, 0, 0)
 
     base = "/root/reference/MaXTron_Tube-Link/tracker/qdtrack"
     sim = _load("tracker.qdtrack.track.similarity", f"{base}/track/similarity.py",
