@@ -19,6 +19,9 @@ def get_default_config() -> ConfigNode:
             num_video_frames=24,  # INPUT.NUM_VIDEO_FRAMES (training clip length)
             num_clip_frames=2,  # INPUT.NUM_CLIP_FRAMES (inference clip window)
             random_reverse=False,
+            # copy-paste augmentation (the reference's default COCO/VIPSeg
+            # pretrain recipe; *_nocopypaste leafs set this False)
+            copy_paste=True,
             augmentations=[],
             pixel_mean=[123.675, 116.28, 103.53],
             pixel_std=[58.395, 57.12, 57.375],

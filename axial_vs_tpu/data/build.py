@@ -20,15 +20,20 @@ def build_mapper(cfg, seed: int = 0):
             max_scale=cfg.input.max_scale,
             max_instances=cfg.model.kmax.trans_dec.num_object_queries,
             random_reverse=cfg.input.random_reverse,
+            copy_paste=cfg.input.get("copy_paste", True),
             **common,
         )
     if name in ("coco_panoptic_kmaxdeeplab", "coco_panoptic"):
+        from .catalog import MetadataCatalog
         from .coco import CocoPanopticMapper
 
+        meta = MetadataCatalog.get(cfg.datasets.train[0]) if cfg.datasets.train else {}
         return CocoPanopticMapper(
             min_scale=cfg.input.min_scale,
             max_scale=cfg.input.max_scale,
             max_instances=cfg.model.kmax.trans_dec.num_object_queries,
+            thing_ids=list(meta.get("thing_dataset_id_to_contiguous_id", {})),
+            copy_paste=cfg.input.get("copy_paste", True),
             **common,
         )
     if name in ("coco_instance_kmaxdeeplab", "coco_instance"):
@@ -42,6 +47,7 @@ def build_mapper(cfg, seed: int = 0):
             max_instances=cfg.model.kmax.trans_dec.num_object_queries,
             dataset_id_to_contiguous_id=meta.get(
                 "dataset_id_to_contiguous_id"),
+            copy_paste=cfg.input.get("copy_paste", True),
             **common,
         )
     if name in ("ytvis", "ytvis_clip"):

@@ -334,3 +334,138 @@ def test_coco_instance_mapper(tmp_path, rng):
     # aux semantic carries contiguous ids
     assert set(np.unique(t["semantic_masks"])) <= {-1, 0, 1}
     assert (t["semantic_masks"] >= 0).any()
+
+
+@pytest.fixture
+def synthetic_coco_panoptic(tmp_path):
+    """Two COCO-panoptic records: each a stuff background (class 5) + one
+    thing box (class 3) with distinct segment ids."""
+    from axial_vs_tpu.data.coco import load_coco_panoptic_json
+
+    img_root = tmp_path / "imgs"
+    pan_root = tmp_path / "pans"
+    img_root.mkdir()
+    pan_root.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    for i in range(2):
+        img = rng.randint(0, 255, (48, 64, 3), np.uint8)
+        # make the two images distinguishable by constant value
+        img[:] = 40 if i == 0 else 200
+        Image.fromarray(img).save(img_root / f"{i}.jpg")
+        pan = np.full((48, 64), 2 + 10 * i, np.int32)  # stuff id 2 / 12
+        pan[8:30, 10 + 20 * i : 30 + 20 * i] = 1 + 10 * i  # thing id 1 / 11
+        Image.fromarray(id2rgb(pan)).save(pan_root / f"{i}.png")
+        images.append(dict(id=i, file_name=f"{i}.jpg", height=48, width=64))
+        annotations.append(dict(
+            image_id=i, file_name=f"{i}.png",
+            segments_info=[
+                dict(id=1 + 10 * i, category_id=3, iscrowd=0, isthing=1),
+                dict(id=2 + 10 * i, category_id=5, iscrowd=0, isthing=0),
+            ]))
+    data = dict(images=images, annotations=annotations,
+                categories=[dict(id=3, isthing=1), dict(id=5, isthing=0)])
+    jp = tmp_path / "panoptic.json"
+    jp.write_text(json.dumps(data))
+    records, _ = load_coco_panoptic_json(
+        str(jp), str(img_root), str(pan_root))
+    return records
+
+
+def test_coco_panoptic_copy_paste(synthetic_coco_panoptic):
+    """The reference's default COCO pretrain recipe pastes a second image's
+    segments (all things + random stuff subset) over the main one
+    (panoptic_kmaxdeeplab_dataset_mapper.py:231-292): pasted thing must
+    appear in the targets, same-class stuff merges into ONE slot, and
+    pasted pixels carry the paste image's colors."""
+    from axial_vs_tpu.data.coco import CocoPanopticMapper
+
+    records = synthetic_coco_panoptic
+    mapper = CocoPanopticMapper(
+        image_size=(48, 64), min_scale=1.0, max_scale=1.0,
+        max_instances=8, copy_paste=True, seed=3)
+    found_paste = False
+    for trial in range(8):
+        sample = mapper(records[0], dataset=records)
+        t = sample["targets"]
+        n_valid = int(t["valid"].sum())
+        labels = sorted(t["labels"][t["valid"]].tolist())
+        # stuff class 5 merges across main+paste -> at most one slot of 5
+        assert labels.count(5) <= 1
+        # three slots = main thing + pasted thing + merged stuff
+        if n_valid == 3:
+            assert labels == [3, 3, 5]
+            found_paste = True
+            break
+    assert found_paste, "copy-paste never produced a pasted thing"
+    # every valid mask is nonempty and masks partition disjointly (panoptic)
+    masks = sample["targets"]["masks"][sample["targets"]["valid"]]
+    assert (masks.sum(axis=(1, 2)) > 0).all()
+    assert (masks.sum(axis=0) <= 1.0 + 1e-6).all()
+
+
+def test_coco_panoptic_copy_paste_off_matches_nocopypaste(
+        synthetic_coco_panoptic):
+    """copy_paste=False reproduces the _nocopypaste mapper: only the main
+    image's segments, even when a dataset is supplied."""
+    from axial_vs_tpu.data.coco import CocoPanopticMapper
+
+    records = synthetic_coco_panoptic
+    mapper = CocoPanopticMapper(
+        image_size=(48, 64), min_scale=1.0, max_scale=1.0,
+        max_instances=8, copy_paste=False, seed=0)
+    sample = mapper(records[0], dataset=records)
+    t = sample["targets"]
+    assert int(t["valid"].sum()) == 2
+    assert sorted(t["labels"][t["valid"]].tolist()) == [3, 5]
+
+
+def test_coco_instance_copy_paste(tmp_path, rng):
+    """Instance copy-paste (instance_kmaxdeeplab_dataset_mapper.py:286-354):
+    a pasted instance occludes overlapping main-instance pixels, and the
+    pasted mask's pixels carry the paste image."""
+    import json as _json
+
+    from axial_vs_tpu.data.coco import (
+        CocoInstanceMapper, load_coco_instance_json)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    h, w = 48, 64
+    for i in range(2):
+        img = np.full((h, w, 3), 40 if i == 0 else 200, np.uint8)
+        Image.fromarray(img).save(img_dir / f"{i}.jpg")
+    # main instance covers [8:40, 8:40]; other instance [8:40, 24:56]
+    data = {
+        "images": [
+            {"id": i, "file_name": f"{i}.jpg", "height": h, "width": w}
+            for i in range(2)],
+        "annotations": [
+            {"id": 1, "image_id": 0, "category_id": 7, "iscrowd": 0,
+             "segmentation": [[8, 8, 40, 8, 40, 40, 8, 40]]},
+            {"id": 2, "image_id": 1, "category_id": 9, "iscrowd": 0,
+             "segmentation": [[24, 8, 56, 8, 56, 40, 24, 40]]},
+        ],
+        "categories": [{"id": 7, "name": "a"}, {"id": 9, "name": "b"}],
+    }
+    jf = tmp_path / "instances.json"
+    jf.write_text(_json.dumps(data))
+    records, cat_map = load_coco_instance_json(str(jf), str(img_dir))
+
+    mapper = CocoInstanceMapper(
+        image_size=(h, w), min_scale=1.0, max_scale=1.0, max_instances=8,
+        dataset_id_to_contiguous_id=cat_map, copy_paste=True, seed=1)
+    found = False
+    for _ in range(8):
+        sample = mapper(records[0], dataset=records)
+        t = sample["targets"]
+        labels = sorted(t["labels"][t["valid"]].tolist())
+        if labels == [0, 1]:  # both instances present -> paste happened
+            found = True
+            break
+    assert found, "instance copy-paste never pasted the other instance"
+    # the pasted instance occludes the main one where they overlap
+    m_main = t["masks"][t["labels"] == 0][0]
+    m_paste = t["masks"][t["labels"] == 1][0]
+    assert (m_main * m_paste).sum() == 0
+    assert m_paste.sum() > 0
