@@ -66,7 +66,23 @@ class BatchNorm(nn.Module):
                     (1 - self.momentum) * ra_var.value + self.momentum * var * correction
                 )
         else:
+            # eval: BN is a per-channel affine — fold (mean, var, scale,
+            # bias) into (s, b) in f32 once and apply in the INPUT dtype
+            # (the f32 upcast/downcast round-trip over the activation was
+            # a measured ~0.1 ms/ConvBN pass at stage-1 geometry)
             mean, var = ra_mean.value, ra_var.value
+            s = jax.lax.rsqrt(var + self.epsilon)
+            if self.use_scale:
+                s = s * self.param(
+                    "scale", self.scale_init, (self.features,), jnp.float32)
+            b = -mean * s
+            if self.use_bias:
+                b = b + self.param(
+                    "bias", nn.initializers.zeros, (self.features,),
+                    jnp.float32)
+            out_dtype = self.dtype or orig_dtype
+            return (x.astype(out_dtype) * s.astype(out_dtype)
+                    + b.astype(out_dtype))
 
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         if self.use_scale:
@@ -92,13 +108,18 @@ class LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-        y = (xf - mean) / jnp.sqrt(var + self.epsilon)
+        # f32-accumulated reductions straight off the (bf16) input: binding
+        # ``xf = x.astype(f32)`` and reusing it makes XLA materialize a full
+        # f32 copy of the activation (measured 0.61 ms on one ConvNeXt-L
+        # downsample norm at 769x1345); per-reduce upcasts fuse instead.
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                         keepdims=True)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        y = y * scale + bias
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(jnp.float32) - mean) * (inv * scale) + bias
         return y.astype(self.dtype or orig_dtype)
 
 
@@ -116,17 +137,31 @@ class GroupNorm(nn.Module):
         g = self.num_groups
         c = self.features
         assert c % g == 0, f"channels {c} not divisible by groups {g}"
-        shape = x.shape
-        xf = x.astype(jnp.float32).reshape(*shape[:-1], g, c // g)
-        # reduce over all non-(leading batch) axes: torch GroupNorm normalizes
-        # per-sample over (C//g, *spatial). Leading axis 0 is the batch.
-        reduce_axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
-        mean = jnp.mean(xf, axis=reduce_axes, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes, keepdims=True)
-        y = ((xf - mean) / jnp.sqrt(var + self.epsilon)).reshape(shape)
+        # Per-sample stats over (*spatial, C//g) — computed WITHOUT ever
+        # reshaping or upcasting the big tensor: spatial f32-reductions off
+        # the (bf16) input, then a tiny per-(B, C) group fold. The previous
+        # ``x.astype(f32).reshape(..., g, c//g)`` materialized an f32 copy
+        # in an 8-lane tiling (C//g minor) — pure relayout cost.
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        n_red = c // g
+        for ax in spatial_axes:
+            n_red *= x.shape[ax]
+        s1 = jnp.sum(x, axis=spatial_axes, dtype=jnp.float32)  # (B, C)
+        s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=spatial_axes)
+        b = s1.shape[0]
+        mean_g = s1.reshape(b, g, c // g).sum(-1) / n_red      # (B, g)
+        mean2_g = s2.reshape(b, g, c // g).sum(-1) / n_red
+        var_g = jnp.maximum(mean2_g - jnp.square(mean_g), 0.0)
+        inv_g = jax.lax.rsqrt(var_g + self.epsilon)
+        # broadcast (B, g) -> (B, C)
+        mean_c = jnp.repeat(mean_g, c // g, axis=-1)
+        inv_c = jnp.repeat(inv_g, c // g, axis=-1)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        y = y * scale + bias
+        bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        w_c = (inv_c * scale).reshape(bshape)
+        b_c = (bias - mean_c * inv_c * scale).reshape(bshape)
+        y = x.astype(jnp.float32) * w_c + b_c
         return y.astype(self.dtype or orig_dtype)
 
 

@@ -63,7 +63,7 @@ def main():
     def bench_loop(vs, images, n):
         def body(i, carry):
             out = model.apply(vs, images + carry * 1e-12, train=False)
-            return sum(o.astype(jnp.float32).mean()
+            return sum(jnp.mean(o, dtype=jnp.float32)
                        for o in jax.tree.leaves(out))
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
