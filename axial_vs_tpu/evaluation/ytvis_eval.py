@@ -47,14 +47,42 @@ def video_iou(pred_segm, gt_segm, iscrowd=False):
     return inter / union if union else 0.0
 
 
+def video_box_iou(pred_boxes, gt_boxes, iscrowd=False):
+    """boxes: lists (per frame) of [x, y, w, h] or None — pycocotools
+    bbIoU semantics per frame, aggregated over the video like iou_seq
+    (sum of intersections / sum of unions; crowd union = dt area)."""
+    inter = union = 0.0
+    for p, g in zip(pred_boxes, gt_boxes):
+        pa = p[2] * p[3] if p else 0.0
+        ga = g[2] * g[3] if g else 0.0
+        if p is None and g is None:
+            continue
+        if p is None:
+            if not iscrowd:
+                union += ga
+            continue
+        if g is None:
+            union += pa
+            continue
+        iw = min(p[0] + p[2], g[0] + g[2]) - max(p[0], g[0])
+        ih = min(p[1] + p[3], g[1] + g[3]) - max(p[1], g[1])
+        i = max(iw, 0.0) * max(ih, 0.0)
+        inter += i
+        union += pa if iscrowd else pa + ga - i
+    return inter / union if union else 0.0
+
+
 def _avg_area(rec):
     """Devkit avg_area: mean of the non-empty per-frame areas (0 if none).
     Prefers an explicit ``areas`` list (annotation format), else computes
     from the segmentations."""
     areas = rec.get("areas")
-    if areas is None:
+    if areas is None and "segmentations" in rec:
         areas = [int(mask_rle.decode(s).sum()) if s else None
                  for s in rec["segmentations"]]
+    if areas is None:
+        # bbox-only records (pycocotools bbox task: dt area = box area)
+        areas = [b[2] * b[3] if b else None for b in rec["bboxes"]]
     vals = [a for a in areas if a]
     return float(np.mean(vals)) if vals else 0.0
 
@@ -62,7 +90,7 @@ def _avg_area(rec):
 class YTVISEvaluator:
     def __init__(self, iou_thrs=None, max_dets=(1, 10, 100),
                  area_rngs=AREA_RNGS, area_lbls=AREA_LBLS,
-                 crowd_iou=False):
+                 crowd_iou=False, iou_type="segm"):
         # crowd_iou=False reproduces the devkit: its video ``iou_seq``
         # (`ytviseval.py:206-220`) ignores iscrowd entirely; COCOeval-style
         # crowd unions are opt-in (used by evaluation/coco_instance.py)
@@ -73,6 +101,7 @@ class YTVISEvaluator:
         self.area_rngs = tuple(tuple(a) for a in area_rngs)
         self.area_lbls = tuple(area_lbls)
         self.crowd_iou = crowd_iou
+        self.iou_type = iou_type  # "segm" | "bbox" (records carry bboxes)
 
     def _evaluate_vid(self, gt, dt, ious, a_rng, max_det):
         """Port of ``YTVISeval.evaluateVid``. gt/dt carry _id/_area/score;
@@ -136,7 +165,13 @@ class YTVISEvaluator:
             g["_area"] = _avg_area(g)
         for i, d in enumerate(preds):
             d["_id"] = i + 1
-            d["_area"] = _avg_area(d)
+            # pycocotools: bbox-task DETECTION areas are box areas
+            # (loadRes), while GT keeps the annotation (segm) area
+            if self.iou_type == "bbox" and d.get("bboxes") is not None:
+                vals = [b[2] * b[3] for b in d["bboxes"] if b]
+                d["_area"] = float(np.mean(vals)) if vals else 0.0
+            else:
+                d["_area"] = _avg_area(d)
 
         cats = sorted({g["category_id"] for g in gts})
         videos = sorted({g["video_id"] for g in gts}
@@ -158,10 +193,14 @@ class YTVISEvaluator:
                 ious = np.zeros((len(dt), len(gt)))
                 for di, d in enumerate(dt):
                     for gi, g in enumerate(gt):
-                        ious[di, gi] = video_iou(
-                            d["segmentations"], g["segmentations"],
-                            iscrowd=self.crowd_iou
-                            and bool(g.get("iscrowd", 0)))
+                        crowd = self.crowd_iou and bool(g.get("iscrowd", 0))
+                        if self.iou_type == "bbox":
+                            ious[di, gi] = video_box_iou(
+                                d["bboxes"], g["bboxes"], iscrowd=crowd)
+                        else:
+                            ious[di, gi] = video_iou(
+                                d["segmentations"], g["segmentations"],
+                                iscrowd=crowd)
                 iou_cache[(vid, cat)] = ious
 
         t_n, r_n = len(self.iou_thrs), len(self.recall_thrs)

@@ -148,3 +148,24 @@ def _build_tube_link_vps(cfg, train):
         use_temporal_attn=tl.use_temporal_attn,
     )
     return model, _tube_criterion(cfg)
+
+
+@META_ARCH_REGISTRY.register("ImageMask2Former")
+def _build_image_mask2former(cfg, train):
+    """Tube-Link's COCO image-pretrain stage (T9; ref
+    `MaXTron_Tube-Link/configs/image/mask2former/*.py`): Mask2Former =
+    the tube head at num_frames=1. Panoptic leafs set model.num_things
+    (things + stuff split); instance leafs leave it None (all things)."""
+    from .kmax import build_backbone
+    from .tube_link.image_mask2former import ImageMask2Former
+
+    tl = cfg.model.tube_link
+    num_things = cfg.model.get("num_things") or cfg.model.num_classes
+    model = ImageMask2Former(
+        backbone=build_backbone(cfg),
+        num_things_classes=num_things,
+        num_stuff_classes=cfg.model.num_classes - num_things,
+        num_queries=tl.num_queries,
+        use_temporal_attn=False,
+    )
+    return model, _tube_criterion(cfg)
