@@ -109,10 +109,10 @@ def ms_deform_attn(
         wx0, wx1 = slot_weights(x0, tx, w)
         wy0, wy1 = slot_weights(y0, ty, h)
         # slot order matches the packed concat: (dy, dx) = 00, 01, 10, 11
-        slot_w = jnp.stack(
-            [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1
-        ) * aw[..., None]
-        wgt_parts.append(slot_w.astype(value.dtype))
+        wgt_parts.append([
+            (s * aw).astype(value.dtype)
+            for s in (wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1)
+        ])
 
         xi = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
@@ -123,7 +123,14 @@ def ms_deform_attn(
     # concatenate levels along the sample axis (a stack + reshape retiles the
     # slot axis: ~8 ms/layer of pure copy at VIPSeg scale)
     idx = jnp.concatenate(idx_parts, axis=3)  # (B, M, Lq, L*P)
-    wgt = jnp.concatenate(wgt_parts, axis=3)  # (B, M, Lq, L*P, 4)
+    # SLOT-MAJOR lane-packed weights (B, M, Lq, 4*L*P), column k*LP + si:
+    # a concat along the MINOR axis fuses into the elementwise producers,
+    # where the old stack(..., -1).reshape retiled a 4-lane layout into 48
+    # lanes (~0.3 ms/layer of pure copy)
+    wgt48 = jnp.concatenate(
+        [wgt_parts[lvl][k] for k in range(4) for lvl in range(num_levels)],
+        axis=3,
+    )
 
     n_samples = num_levels * p
     rows = b * m * lq
@@ -148,7 +155,8 @@ def ms_deform_attn(
         idx_s = idx.reshape(rows, n_samples)
         gs = [flat.at[idx_s[:, si]].get(mode="promise_in_bounds")
               for si in range(n_samples)]
-        out = weighted_corner_reduce_v4(gs, wgt.reshape(rows, n_samples * 4))
+        out = weighted_corner_reduce_v4(
+            gs, wgt48.reshape(rows, 4 * n_samples), slot_major=True)
         out = out.reshape(b, m, lq, d)
         if head_major_out:
             return out.astype(value.dtype)
@@ -161,11 +169,12 @@ def ms_deform_attn(
         # HBM. Measured v5e: 14.5 ms/layer vs 24 ms for gather-then-reduce
         # (see tools/bench_msda.py; chunked middle grounds are slower).
         idx_s = idx.reshape(rows, n_samples)
-        wgt_s = wgt.reshape(rows, n_samples, 4)
+        wgt_s = wgt48.reshape(rows, 4 * n_samples)
         acc = jnp.zeros((rows, 4 * d), value.dtype)
         for si in range(n_samples):
             g = flat.at[idx_s[:, si]].get(mode="promise_in_bounds")
-            w128 = jnp.repeat(wgt_s[:, si], d, axis=-1)
+            # slot-major columns: sample si's 4 slot weights at si::ns
+            w128 = jnp.repeat(wgt_s[:, si::n_samples], d, axis=-1)
             acc = acc + g * w128
         out = (
             acc[:, 0 * d : 1 * d]

@@ -97,13 +97,17 @@ def _v4_kernel(e_ref, w_ref, *refs, d: int, n: int):
     ).astype(out_ref.dtype)
 
 
-def _v4_expand_matrix(n: int, d: int):
-    """(n*4, n*4d) 0/1 bf16: weight (si, k) -> lanes [si*4d+k*d, +d)."""
+def _v4_expand_matrix(n: int, d: int, slot_major: bool = False):
+    """(n*4, n*4d) 0/1 bf16 mapping weight columns to lane ranges.
+    sample-major: column si*4 + k; slot-major: column k*n + si (the layout
+    ops/msda.py builds with a fused minor-axis concat). Either way the
+    weight for (sample si, slot k) lands on lanes [si*4d + k*d, +d)."""
     e = np.zeros((n * 4, n * 4 * d), np.float32)
     for si in range(n):
         for k in range(4):
+            col = (k * n + si) if slot_major else (si * 4 + k)
             lo = si * 4 * d + k * d
-            e[si * 4 + k, lo:lo + d] = 1.0
+            e[col, lo:lo + d] = 1.0
     return jnp.asarray(e, jnp.bfloat16)
 
 
@@ -112,15 +116,16 @@ import os as _os
 _V4_BLOCK = int(_os.environ.get("AXIALVS_MSDA_V4_BLOCK", "512"))
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
-def weighted_corner_reduce_v4(gs, w, block_rows: int = _V4_BLOCK):
+@functools.partial(jax.jit, static_argnames=("block_rows", "slot_major"))
+def weighted_corner_reduce_v4(gs, w, block_rows: int = _V4_BLOCK,
+                              slot_major: bool = False):
     """gs: list of N (R, 4*D) gathered corner rows; w (R, N*4) lane-packed
     slot weights -> (R, D) f32->gs dtype. Handles non-dividing R via the
     Pallas edge-block padding (no host-side jnp.pad copies)."""
     n = len(gs)
     r, d4 = gs[0].shape
     d = d4 // 4
-    e = _v4_expand_matrix(n, d)
+    e = _v4_expand_matrix(n, d, slot_major=slot_major)
     grid = (pl.cdiv(r, block_rows),)
     return pl.pallas_call(
         functools.partial(_v4_kernel, d=d, n=n),

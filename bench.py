@@ -138,6 +138,17 @@ def main():
 
     variables = jax.tree.map(_fill, shapes)
 
+    if cfg.model.dtype == "bfloat16":
+        # bf16 weights AT REST for inference: with f32 params the compute-
+        # dtype cast re-converts every kernel stack per dispatch (profiled
+        # ~1.7 ms/clip on the scanned ConvNeXt-L weight stacks alone).
+        # 1-D params (norm scales/biases, BN running stats) stay f32 — the
+        # eval-time BN/LN folds compute their affines in f32.
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if (x.dtype == jnp.float32 and x.ndim >= 2) else x,
+            variables)
+
     if any(a.startswith("--split-jit") for a in argv):
         # Two compile units (backbone | WC+decoders): a monolithic
         # ConvNeXt-L graph exceeds what the sandbox's remote-compile

@@ -1,0 +1,165 @@
+"""End-to-end learning validation: overfit a 2-video VIPSeg fixture until
+VPQ on the training videos approaches 1.0 (VERDICT r2 next-round task #2).
+
+Unit parity (matcher/criterion/optimizer) proves formulas; THIS proves the
+wiring: the REAL train loop (mapper -> process loader -> train_step with
+auction matching + AdamW/poly) must teach the REAL inference path
+(WCInferencePipeline clip stitching -> VIPSegEvaluator re-ID -> VPQ core)
+to segment the fixture. A sign flip, mis-weighted loss, or matcher mis-wire
+caps VPQ far below 1 even while "loss goes down".
+
+Run (CPU, ~10-20 min):
+  JAX_PLATFORMS=cpu python tools/validate_overfit.py \
+      [--steps 600] [--eval-every 100] [--target 0.9]
+
+Prints a VPQ curve and exits 0 iff final VPQ >= target. The resulting curve
+is recorded in STATUS.md / docs/PERFORMANCE.md.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--eval-every", type=int, default=100)
+    ap.add_argument("--target", type=float, default=0.9)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--out", default="/tmp/axialvs_overfit")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from axial_vs_tpu.config import get_default_config
+    from axial_vs_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from axial_vs_tpu.data.loader import ClipDataLoader
+    from axial_vs_tpu.data.vipseg import VIPSegClipMapper
+    from axial_vs_tpu.engine.evaluator_loop import evaluate_vipseg
+    from axial_vs_tpu.engine.lr_schedule import tf2_warmup_poly_lr
+    from axial_vs_tpu.engine.optim import build_optimizer
+    from axial_vs_tpu.engine.train_step import TrainState, make_train_step
+    from axial_vs_tpu.losses.criterion import SetCriterion
+    from axial_vs_tpu.models.kmax import build_segmenter
+    from tests.fixtures_vipseg import synthesize_vipseg_videos
+
+    # ---- fixture: 2 videos, contiguous category ids (0=thing, 1=stuff) ----
+    videos = synthesize_vipseg_videos(
+        args.out, n_videos=2, n_frames=4, hw=(96, 160),
+        thing_class=0, stuff_class=1)
+    name = "overfit_fixture"
+    if name not in DatasetCatalog:
+        DatasetCatalog.register(name, lambda: videos)
+    meta = MetadataCatalog.get(name)
+    meta.contiguous_to_dataset_id = [0, 1]
+    meta.thing_dataset_id_to_contiguous_id = {0: 0}
+    meta.stuff_dataset_id_to_contiguous_id = {1: 1}
+    meta.label_divisor = 1000
+    meta.ignore_label = 255
+
+    # ---- small-but-real WC config --------------------------------------
+    t = 2
+    num_classes = 2
+    cfg = get_default_config()
+    cfg.model.backbone.name = "resnet18"
+    cfg.model.backbone.resnet.depth = 18
+    cfg.model.num_classes = num_classes
+    cfg.input.image_size = [97, 161]
+    cfg.input.num_clip_frames = t
+    cfg.input.num_video_frames = t
+    cfg.model.maxtron.wc.enable = True
+    cfg.model.maxtron.wc.conv_dims = 64
+    cfg.model.maxtron.wc.dim_feedforward = 128
+    cfg.model.maxtron.wc.spatial_layers = 2
+    cfg.model.maxtron.wc.temporal_layers = 2
+    cfg.model.kmax.trans_dec.num_object_queries = 16
+    cfg.model.kmax.pixel_dec.dec_channels = [64, 48, 32, 16]
+    cfg.model.kmax.trans_dec.dec_layers = [1, 1, 1]
+    cfg.solver.base_lr = args.lr
+    cfg.solver.warmup_iters = 0  # warmup off (VERDICT task #2)
+    cfg.solver.max_iter = args.steps * 10  # keep poly decay nearly flat
+    cfg.output_dir = args.out
+    cfg.datasets.test = [name]
+
+    module = build_segmenter(cfg, num_frames=t, train=True)
+    eval_module = build_segmenter(cfg, num_frames=t, train=False)
+    criterion = SetCriterion(
+        num_classes=num_classes,
+        weights={"loss_ce": 3.0, "loss_mask": 0.3, "loss_dice": 3.0,
+                 "loss_pixel_insdis": 1.0, "loss_aux_semantic": 1.0},
+        pixel_insdis_sample_k=256,
+        aux_semantic_sample_k=256,
+        exact_matching=False,
+    )
+    mapper = VIPSegClipMapper(
+        image_size=tuple(cfg.input.image_size), num_frames=t,
+        max_instances=cfg.model.kmax.trans_dec.num_object_queries,
+        min_scale=0.8, max_scale=1.2, copy_paste=False, seed=0)
+    loader = ClipDataLoader(videos, mapper, batch_size=2, num_workers=2,
+                            prefetch=2, seed=0)
+
+    rng = jax.random.PRNGKey(0)
+    images0 = jnp.zeros((2 * t, *cfg.input.image_size, 3), jnp.float32)
+    variables = module.init(rng, images0, train=True)
+    tx = build_optimizer(
+        cfg, variables["params"],
+        tf2_warmup_poly_lr(cfg.solver.base_lr, cfg.solver.max_iter,
+                           warmup_iters=0))
+    state = TrainState(
+        step=jnp.zeros([], jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]))
+    step_fn = jax.jit(make_train_step(module, criterion, tx))
+
+    def put(nb):
+        tg = {k: jnp.asarray(v) for k, v in nb["targets"].items()}
+        tg["masks"] = tg["masks"].astype(jnp.float32)
+        return {"images": jnp.asarray(nb["images"], jnp.float32),
+                "targets": tg}
+
+    curve = []
+    it = iter(loader)
+    t0 = time.time()
+    for step in range(1, args.steps + 1):
+        state, metrics = step_fn(
+            state, put(next(it)), jax.random.fold_in(rng, step))
+        if step % args.eval_every == 0 or step == args.steps:
+            loss = float(metrics["total_loss"])
+            res = evaluate_vipseg(
+                cfg, eval_module,
+                {"params": state.params, "batch_stats": state.batch_stats})
+            vpq = float(res["vpq"])
+            curve.append({"step": step, "loss": round(loss, 3),
+                          "vpq": round(vpq, 4)})
+            print(json.dumps(curve[-1]), flush=True)
+            if vpq >= args.target:
+                break
+    loader.close()
+    final = curve[-1]["vpq"] if curve else 0.0
+    print(json.dumps({
+        "metric": "overfit 2-video fixture train->infer->VPQ",
+        "curve": curve,
+        "final_vpq": final,
+        "target": args.target,
+        "minutes": round((time.time() - t0) / 60.0, 1),
+        "passed": final >= args.target,
+    }))
+    sys.exit(0 if final >= args.target else 1)
+
+
+if __name__ == "__main__":
+    main()
