@@ -129,6 +129,14 @@ def _fused_dwln_enabled():
     return os.environ.get("AXIALVS_FUSED_DWLN", "1") != "0"
 
 
+def _fused_block_enabled():
+    # whole-block pipelined kernel (dw VPU x MLP MXU dual-issue) — gated
+    # until measured in-pipeline (tools/bench_convnext_block.py)
+    import os
+
+    return os.environ.get("AXIALVS_FUSED_BLOCK", "0") == "1"
+
+
 def _fused_mlp_enabled():
     # OPT-IN (negative result, kept for the record): chained 27x at the
     # ConvNeXt-L stage-3 shape the fused kernel measured 579 us/block vs
@@ -158,11 +166,27 @@ class ConvNeXtBlock(nn.Module):
             # LayerNorm (ops/convnext_pallas.py) — the activation round-trips
             # HBM once instead of three times. Training keeps the
             # differentiable XLA path below (same params).
-            from ...ops.convnext_pallas import (convnext_mlp_residual,
+            from ...ops.convnext_pallas import (convnext_block_fused,
+                                                convnext_mlp_residual,
                                                 dwconv7x7_layernorm)
 
             kernel, cbias = _ConvParams(self.dim, name="dwconv")()
             scale, nbias = _LNParams(self.dim, name="norm")()
+            if (not self.use_grn and self.layer_scale_init_value > 0
+                    and _fused_block_enabled()):
+                # whole-block kernel: dw+LN (VPU) of row-tile i pipelined
+                # against the MLP (MXU) of row-tile i-1 (see
+                # ops/convnext_pallas.convnext_block_fused)
+                w1, b1 = _DenseParams(self.dim, 4 * self.dim,
+                                      name="pwconv1")()
+                w2, b2 = _DenseParams(4 * self.dim, self.dim,
+                                      name="pwconv2")()
+                gamma = self.param(
+                    "gamma",
+                    nn.initializers.constant(self.layer_scale_init_value),
+                    (self.dim,), jnp.float32)
+                return convnext_block_fused(
+                    x, kernel, cbias, scale, nbias, w1, b1, w2, b2, gamma)
             y = dwconv7x7_layernorm(x, kernel, cbias, scale, nbias)
             if (not self.use_grn and self.layer_scale_init_value > 0
                     and _fused_mlp_enabled()):

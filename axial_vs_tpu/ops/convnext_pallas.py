@@ -177,3 +177,134 @@ def convnext_mlp_residual(x, shortcut, w1, b1, w2, b2, gamma,
       w2.astype(x.dtype), b2.astype(jnp.float32).reshape(1, -1),
       gamma.astype(jnp.float32).reshape(1, -1))
     return out.reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused ConvNeXt block with cross-tile VPU/MXU software pipelining:
+# dwconv7x7 + LayerNorm (VPU) for row-tile i runs in the same kernel step as
+# pwconv1 -> GELU -> pwconv2 -> gamma + residual (MXU) for row-tile i-1, so
+# the two units' independent work can dual-issue (measured ~28% overlap
+# capacity on v5e, tools/bench_overlap.py) and the dw+LN intermediate never
+# touches HBM at all.
+# ---------------------------------------------------------------------------
+
+def _block_kernel(xm1_ref, x0_ref, xp1_ref, xres_ref,
+                  kw_ref, kb_ref, ls_ref, lb_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
+                  out_ref, dbuf,
+                  *, tile_h: int, height: int, eps: float,
+                  hidden_chunk: int, mlp_first: bool):
+    i = pl.program_id(1)
+    nh = pl.num_programs(1) - 1
+    th = tile_h
+
+    def mlp_phase():
+        t = dbuf[(i - 1) % 2]                      # (th*W, C) bf16
+        rows, c = t.shape
+        hidden = w1_ref.shape[-1]
+        acc = jnp.broadcast_to(b2_ref[0].astype(jnp.float32), (rows, c))
+        for h0 in range(0, hidden, hidden_chunk):
+            h1 = min(h0 + hidden_chunk, hidden)
+            hh = jnp.dot(t, w1_ref[:, h0:h1],
+                         preferred_element_type=jnp.float32) + b1_ref[0, h0:h1]
+            hh = 0.5 * hh * (1.0 + jnp.tanh(
+                0.7978845608028654 * (hh + 0.044715 * hh * hh * hh)))
+            acc = acc + jnp.dot(hh.astype(t.dtype), w2_ref[h0:h1, :],
+                                preferred_element_type=jnp.float32)
+        res = xres_ref[0].reshape(rows, c).astype(jnp.float32)
+        out_ref[0] = (res + g_ref[0] * acc).reshape(
+            out_ref.shape[1:]).astype(out_ref.dtype)
+
+    def dw_phase():
+        top = xm1_ref[0, th - 3:th]
+        mid = x0_ref[0]
+        bot = xp1_ref[0, 0:3]
+        col = jnp.concatenate([top, mid, bot], axis=0)   # (th+6, W, C)
+        g = (jax.lax.broadcasted_iota(jnp.int32, (th + 6, 1, 1), 0)
+             + i * th - 3)
+        col = jnp.where((g >= 0) & (g < height), col, jnp.zeros_like(col))
+        w = col.shape[1]
+        colp = jnp.pad(col, ((0, 0), (3, 3), (0, 0)))
+        acc = jnp.broadcast_to(kb_ref[0].astype(jnp.float32),
+                               (th, w, col.shape[2]))
+        for dx in range(7):
+            sh = colp[:, dx:dx + w].astype(jnp.float32)
+            for dy in range(7):
+                acc = acc + sh[dy:dy + th] * kw_ref[dy * 7 + dx]
+        mean = jnp.mean(acc, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(acc - mean), axis=-1, keepdims=True)
+        y = (acc - mean) * jax.lax.rsqrt(var + eps)
+        y = y * ls_ref[0] + lb_ref[0]
+        dbuf[i % 2] = y.reshape(th * w, col.shape[2]).astype(dbuf.dtype)
+
+    if mlp_first:
+        @pl.when(i > 0)
+        def _():
+            mlp_phase()
+
+        @pl.when(i < nh)
+        def _():
+            dw_phase()
+    else:
+        @pl.when(i < nh)
+        def _():
+            dw_phase()
+
+        @pl.when(i > 0)
+        def _():
+            mlp_phase()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile_h", "eps", "hidden_chunk", "mlp_first"))
+def convnext_block_fused(x, kernel, cbias, ln_scale, ln_bias,
+                         w1, b1, w2, b2, gamma,
+                         tile_h: int = 8, eps: float = 1e-6,
+                         hidden_chunk: int = 1024, mlp_first: bool = True):
+    """Whole ConvNeXt block (inference):
+    ``x + gamma * pwconv2(gelu(pwconv1(LN(dwconv7x7(x) + cbias))))``
+    in ONE Pallas kernel with the dw+LN (VPU) of row-tile i pipelined
+    against the MLP (MXU) of row-tile i-1 through a double-buffered VMEM
+    scratch. Grid runs nh+1 steps; step 0 only produces, step nh only
+    consumes. Inference-only (no VJP)."""
+    n, h, w, c = x.shape
+    nh = pl.cdiv(h, tile_h)
+    hidden = w1.shape[-1]
+    kw = kernel.reshape(49, c).astype(jnp.float32)
+    kb = cbias.reshape(1, c).astype(jnp.float32)
+    ls = ln_scale.reshape(1, c).astype(jnp.float32)
+    lb = ln_bias.reshape(1, c).astype(jnp.float32)
+
+    def row_spec(off):
+        return pl.BlockSpec(
+            (1, tile_h, w, c),
+            lambda ni, hi: (ni, jnp.clip(hi + off, 0, nh - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    param = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _block_kernel, tile_h=tile_h, height=h, eps=eps,
+            hidden_chunk=min(hidden_chunk, hidden), mlp_first=mlp_first),
+        grid=(n, nh + 1),
+        in_specs=[row_spec(-1), row_spec(0), row_spec(1), row_spec(-1),
+                  param, param, param, param,
+                  param, param, param, param, param],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w, c),
+            lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((2, tile_h * w, c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * 49 + 4 * hidden // c * c) * n * h * w * c,
+            bytes_accessed=x.size * 2 * 5 + 2 * c * hidden * 2,
+            transcendentals=n * h * w * hidden,
+        ),
+    )(x, x, x, x, kw, kb, ls, lb,
+      w1.astype(x.dtype), b1.astype(jnp.float32).reshape(1, -1),
+      w2.astype(x.dtype), b2.astype(jnp.float32).reshape(1, -1),
+      gamma.astype(jnp.float32).reshape(1, -1))

@@ -678,3 +678,36 @@ def load_ytvis_devkit():
     ev = _load("ytvis_ref.ytviseval", f"{base}/ytviseval.py",
                package="ytvis_ref")
     return api, ev
+
+
+def load_wc_criterion():
+    """Reference MaXTronWCSetCriterion + VideoHungarianMatcher
+    (`maxtron_deeplab/modeling/{wc_criterion,matcher}.py`). torchvision is
+    absent in this image; its only use is ``box_area`` (imported, unused on
+    the video path) — stubbed."""
+    import types
+
+    if "torchvision" not in sys.modules:
+        import importlib.util as _ilu
+        if _ilu.find_spec("torchvision") is None:
+            import torch as _torch
+
+            boxes = types.ModuleType("torchvision.ops.boxes")
+
+            def _box_area(b):
+                return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+            boxes.box_area = _box_area
+            ops = types.ModuleType("torchvision.ops")
+            ops.boxes = boxes
+            tv = types.ModuleType("torchvision")
+            tv.ops = ops
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.ops"] = ops
+            sys.modules["torchvision.ops.boxes"] = boxes
+    base = "/root/reference/MaXTron_Video-kMaX/maxtron_deeplab/modeling"
+    matcher = _load("maxtron_ref.matcher", f"{base}/matcher.py",
+                    package="maxtron_ref")
+    crit = _load("maxtron_ref.wc_criterion", f"{base}/wc_criterion.py",
+                 package="maxtron_ref")
+    return crit, matcher

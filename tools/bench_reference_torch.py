@@ -200,6 +200,105 @@ def build_pipeline(backbone: str, image_size=(769, 1345)):
     return bb, bb_forward, wc, pixdec, transdec
 
 
+def run_train_anchor(args):
+    """Reference WC TRAINING step on host CPU: forward + the reference's
+    own MaXTronWCSetCriterion/VideoHungarianMatcher (tests/reference_shims
+    .load_wc_criterion) + backward + AdamW, at the 713x713 T=2 recipe —
+    the denominator for tools/bench_train.py's vs_baseline."""
+    from reference_shims import load_wc_criterion
+
+    crit_mod, matcher_mod = load_wc_criterion()
+    h, w = args.image_size
+    t_frames = 2
+    torch.manual_seed(0)
+    bb, bb_forward, wc, pixdec, transdec = build_pipeline(
+        args.backbone, (h, w))
+    params = []
+    for m in (bb, wc, pixdec, transdec):
+        m.train()
+        params += list(m.parameters())
+    opt = torch.optim.AdamW(params, lr=1e-4, weight_decay=0.05)
+
+    matcher = matcher_mod.VideoHungarianMatcher()
+    weight_dict = {"loss_ce": 3.0, "loss_mask": 0.3, "loss_dice": 3.0,
+                   "loss_pixel_insdis": 1.0, "loss_aux_semantic": 1.0}
+    criterion = crit_mod.MaXTronWCSetCriterion(
+        num_classes=124, matcher=matcher, weight_dict=weight_dict,
+        eos_coef=1e-5,
+        losses=["labels", "masks", "pixels"],  # aux_semantic needs the
+        # semantic decoder head; excluded on BOTH sides of the ratio (the
+        # jax bench reports its own full-loss number separately)
+        share_final_matching=True, process_semantic=False)
+
+    m_gt = 24
+    h4, w4 = (h + 3) // 4, (w + 3) // 4
+    rs = np.random.RandomState(0)
+    targets = [{
+        "labels": torch.as_tensor(rs.randint(0, 124, (m_gt,))),
+        "masks": torch.as_tensor(
+            (rs.rand(m_gt, t_frames, h4, w4) > 0.8).astype(np.float32)),
+        "semantic_masks": torch.as_tensor(
+            rs.randint(-1, 124, (t_frames, h4, w4))),
+    }]
+    x = torch.randn(t_frames, 3, h, w)
+
+    def train_step():
+        feats = bb_forward(x)
+        wc_out, _, _ = wc.forward_features(feats)
+        feats = dict(feats)
+        feats.update(wc_out)
+        panoptic, semantic, multi = pixdec.forward_features(feats)
+        out = transdec(multi, panoptic, semantic)
+        losses = criterion(out, targets)
+        total = sum(weight_dict[k.rsplit("_", 1)[0]
+                                if k.rsplit("_", 1)[-1].isdigit() else k] * v
+                    for k, v in losses.items())
+        opt.zero_grad(set_to_none=True)
+        total.backward()
+        opt.step()
+        return float(total)
+
+    t0 = time.perf_counter()
+    loss0 = train_step()
+    print(f"warm-up train step: {time.perf_counter() - t0:.1f}s "
+          f"(loss {loss0:.2f})")
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        train_step()
+    sec_per_step = (time.perf_counter() - t0) / args.iters
+    cpu_tflops = measure_cpu_tflops()
+    gpu_factor = A100_PRACTICAL_TFLOPS / cpu_tflops
+    result = {
+        "backbone": args.backbone,
+        "image_size": [h, w],
+        "clip_frames": t_frames,
+        "cpu_sec_per_step": sec_per_step,
+        "cpu_steps_per_sec": 1.0 / sec_per_step,
+        "cpu_practical_tflops": cpu_tflops,
+        "a100_practical_tflops_assumed": A100_PRACTICAL_TFLOPS,
+        "gpu_scaling_factor": gpu_factor,
+        "reference_gpu_steps_per_sec_estimate": gpu_factor / sec_per_step,
+        "losses": ["labels", "masks", "pixels"],
+        "method": "reference torch train step (fwd + MaXTronWCSetCriterion "
+                  "+ bwd + AdamW) on host CPU via tests/reference_shims; "
+                  "scaled by practical-matmul throughput ratio",
+    }
+    print(json.dumps(result, indent=2))
+    _merge_out(args.out, f"train_{args.backbone}", result)
+
+
+def _merge_out(out_name, key, result):
+    out_path = os.path.join(os.path.dirname(__file__), "..", out_name)
+    existing = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            existing = json.load(f)
+    existing[key] = result
+    with open(out_path, "w") as f:
+        json.dump(existing, f, indent=2)
+    print(f"wrote {out_path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backbone", default="resnet50",
@@ -207,7 +306,11 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--image-size", type=int, nargs=2, default=[769, 1345])
     ap.add_argument("--out", default="reference_anchor.json")
+    ap.add_argument("--train", action="store_true",
+                    help="measure the TRAINING step instead of inference")
     args = ap.parse_args()
+    if args.train:
+        return run_train_anchor(args)
 
     t_frames = 2
     h, w = args.image_size

@@ -118,6 +118,22 @@ def main():
         "loss_first": round(loss1, 3),
         "loss_last": round(loss, 3),
     }
+    # measured reference train-step anchor (tools/bench_reference_torch.py
+    # --train; same 0.35 eager-retention damping as bench.py — see
+    # docs/PERFORMANCE.md for the methodology and both bounds)
+    try:
+        import json as _json
+
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "reference_anchor.json")) as f:
+            a = _json.load(f)["train_resnet50"]
+        upper = a["reference_gpu_steps_per_sec_estimate"]
+        central = upper * 0.35
+        out["vs_baseline"] = round((iters / dt) / central, 3)
+        out["anchor_gpu_steps_per_sec_upper_bound"] = round(upper, 3)
+        out["anchor_gpu_steps_per_sec_central"] = round(central, 3)
+    except (OSError, KeyError, ValueError):
+        pass
 
     if "--with-loader" in argv:
         # loader-in-the-loop: REAL jpeg decode + clip aug + copy-paste in
