@@ -711,3 +711,294 @@ def load_wc_criterion():
     crit = _load("maxtron_ref.wc_criterion", f"{base}/wc_criterion.py",
                  package="maxtron_ref")
     return crit, matcher
+
+
+def load_tube_link_pixel_decoder():
+    """The reference's REAL ``MSDeformAttnPixelDecoder`` with fused
+    MSDA + axial-trajectory attention (`MaXTron_Tube-Link/mmdet/models/
+    plugins/msdeformattn_pixel_decoder.py` — decoder wiring :31-327, fused
+    attention :394-660, trajectory/temporal layers :652-800), loaded
+    read-only with the absent mmcv/mmengine runtime substituted by minimal
+    faithful bricks (BaseTransformerLayer with the config's
+    ('self_attn','norm','ffn','norm') order, SinePositionalEncoding,
+    ConvModule, MlvlPointGenerator, and the pure-torch grid_sample MSDA
+    fallback that mmcv ships for CPU). Returns the loaded module."""
+    import math
+    import types
+
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    name = "tube_ref.msdeformattn_pixel_decoder"
+    if name in sys.modules:
+        return sys.modules[name]
+
+    _install_stubs()
+
+    registered = {}
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            def deco(c):
+                registered[c.__name__] = c
+                return c
+            return deco
+
+    class AttrDict(dict):
+        __getattr__ = dict.__getitem__
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    def _wrap(cfg):
+        if isinstance(cfg, dict) and not isinstance(cfg, AttrDict):
+            return AttrDict({k: _wrap(v) for k, v in cfg.items()})
+        return cfg
+
+    class BaseModule(nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+
+        def init_weights(self):
+            pass
+
+    class ConvModule(nn.Module):
+        """conv -> (GN) -> (ReLU), matching the only configs this file
+        builds: norm_cfg GN(32) or None, act_cfg ReLU or None."""
+
+        def __init__(self, cin, cout, kernel_size, stride=1, padding=0,
+                     bias="auto", norm_cfg=None, act_cfg=None):
+            super().__init__()
+            use_bias = bias if isinstance(bias, bool) else norm_cfg is None
+            self.conv = nn.Conv2d(cin, cout, kernel_size, stride, padding,
+                                  bias=use_bias)
+            self.gn = (nn.GroupNorm(norm_cfg["num_groups"], cout)
+                       if norm_cfg else None)
+            self.act = nn.ReLU(inplace=True) if act_cfg else None
+
+        def forward(self, x):
+            x = self.conv(x)
+            if self.gn is not None:
+                x = self.gn(x)
+            if self.act is not None:
+                x = self.act(x)
+            return x
+
+    class SinePositionalEncoding(nn.Module):
+        """mmcv SinePositionalEncoding(num_feats, normalize=True): input a
+        (B, H, W) padding mask, output (B, 2*num_feats, H, W)."""
+
+        def __init__(self, num_feats=128, temperature=10000, normalize=True,
+                     scale=2 * math.pi, eps=1e-6):
+            super().__init__()
+            self.num_feats = num_feats
+            self.temperature = temperature
+            self.normalize = normalize
+            self.scale = scale
+            self.eps = eps
+
+        def forward(self, mask):
+            not_mask = (~mask).to(torch.float32)
+            y = not_mask.cumsum(1)
+            x = not_mask.cumsum(2)
+            if self.normalize:
+                y = y / (y[:, -1:, :] + self.eps) * self.scale
+                x = x / (x[:, :, -1:] + self.eps) * self.scale
+            dim_t = torch.arange(self.num_feats, dtype=torch.float32)
+            dim_t = self.temperature ** (
+                2 * torch.div(dim_t, 2, rounding_mode="floor")
+                / self.num_feats)
+            px = x[:, :, :, None] / dim_t
+            py = y[:, :, :, None] / dim_t
+            b, h, w = mask.shape
+            px = torch.stack(
+                (px[:, :, :, 0::2].sin(), px[:, :, :, 1::2].cos()),
+                dim=4).view(b, h, w, -1)
+            py = torch.stack(
+                (py[:, :, :, 0::2].sin(), py[:, :, :, 1::2].cos()),
+                dim=4).view(b, h, w, -1)
+            return torch.cat((py, px), dim=3).permute(0, 3, 1, 2)
+
+    class MlvlPointGenerator:
+        """mmdet grid priors: (x + 0.5, y + 0.5) * stride per level."""
+
+        def __init__(self, strides):
+            self.strides = strides
+
+        def single_level_grid_priors(self, featmap_size, level_idx,
+                                     device=None):
+            h, w = featmap_size
+            stride = self.strides[level_idx]
+            ys = (torch.arange(h, dtype=torch.float32, device=device)
+                  + 0.5) * stride
+            xs = (torch.arange(w, dtype=torch.float32, device=device)
+                  + 0.5) * stride
+            yy = ys[:, None].expand(h, w).reshape(-1)
+            xx = xs[None, :].expand(h, w).reshape(-1)
+            return torch.stack([xx, yy], dim=-1)
+
+    class FFN(nn.Module):
+        def __init__(self, dim, hidden, drop=0.0):
+            super().__init__()
+            self.fc1 = nn.Linear(dim, hidden)
+            self.fc2 = nn.Linear(hidden, dim)
+
+        def forward(self, x):
+            return x + self.fc2(F.relu(self.fc1(x), inplace=True))
+
+    class _EncoderLayer(nn.Module):
+        """BaseTransformerLayer('self_attn', 'norm', 'ffn', 'norm') where
+        self_attn is the registered attention class from the config."""
+
+        def __init__(self, layer_cfg):
+            super().__init__()
+            attn_cfg = dict(layer_cfg["attn_cfgs"])
+            cls = registered[attn_cfg.pop("type")]
+            self.attn = cls(**attn_cfg)
+            dim = self.attn.embed_dims
+            self.norm1 = nn.LayerNorm(dim)
+            self.ffn = FFN(dim, layer_cfg["feedforward_channels"])
+            self.norm2 = nn.LayerNorm(dim)
+
+        def forward(self, query, query_pos=None, query_pos3d=None, **kw):
+            kw.pop("key", None), kw.pop("value", None)
+            kw.pop("key_pos", None), kw.pop("attn_masks", None)
+            kw.pop("key_padding_mask", None), kw.pop("valid_radios", None)
+            mask = kw.pop("query_key_padding_mask", None)
+            if query_pos3d is not None:
+                kw["query_pos3d"] = query_pos3d
+            x = self.attn(query=query, query_pos=query_pos,
+                          key_padding_mask=mask, **kw)
+            x = self.norm1(x)
+            x = self.ffn(x)
+            return self.norm2(x)
+
+    class _EncoderSequence(nn.Module):
+        def __init__(self, cfg):
+            super().__init__()
+            self.layers = nn.ModuleList(
+                [_EncoderLayer(cfg["transformerlayers"])
+                 for _ in range(cfg["num_layers"])])
+
+        def forward(self, query, **kw):
+            for layer in self.layers:
+                query = layer(query, **kw)
+            return query
+
+    def build_transformer_layer_sequence(cfg):
+        return _EncoderSequence(cfg)
+
+    def build_positional_encoding(cfg):
+        return SinePositionalEncoding(cfg["num_feats"],
+                                      normalize=cfg["normalize"])
+
+    def multi_scale_deformable_attn_pytorch(value, spatial_shapes,
+                                            sampling_locations,
+                                            attention_weights):
+        """Pure-torch MSDA via grid_sample (bilinear, zeros, align_corners
+        False) — identical formulation to tests/test_msda.py's oracle."""
+        bs, _, m, d = value.shape
+        _, lq, _, L, p, _ = sampling_locations.shape
+        sizes = [int(h) * int(w) for h, w in spatial_shapes]
+        per_level = value.split(sizes, dim=1)
+        grids = 2 * sampling_locations - 1
+        sampled = []
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            v = (per_level[lvl].permute(0, 2, 3, 1)
+                 .reshape(bs * m, d, int(h), int(w)))
+            g = grids[:, :, :, lvl].permute(0, 2, 1, 3, 4).reshape(
+                bs * m, lq, p, 2)
+            sampled.append(F.grid_sample(
+                v, g, mode="bilinear", padding_mode="zeros",
+                align_corners=False))  # (bs*m, d, lq, p)
+        samp = torch.stack(sampled, dim=-2).flatten(-2)  # (bs*m, d, lq, L*p)
+        attn = attention_weights.permute(0, 2, 1, 3, 4).reshape(
+            bs * m, 1, lq, L * p)
+        out = (samp * attn).sum(-1)  # (bs*m, d, lq)
+        return out.view(bs, m * d, lq).transpose(1, 2).contiguous()
+
+    def xavier_init(module, gain=1, bias=0, distribution="normal"):
+        if hasattr(module, "weight") and module.weight.dim() > 1:
+            if distribution == "uniform":
+                nn.init.xavier_uniform_(module.weight, gain=gain)
+            else:
+                nn.init.xavier_normal_(module.weight, gain=gain)
+        if hasattr(module, "bias") and module.bias is not None:
+            nn.init.constant_(module.bias, bias)
+
+    def constant_init(module, val, bias=0):
+        if hasattr(module, "weight") and module.weight is not None:
+            nn.init.constant_(module.weight, val)
+        if hasattr(module, "bias") and module.bias is not None:
+            nn.init.constant_(module.bias, bias)
+
+    def caffe2_xavier_init(module, bias=0):
+        xavier_init(module, bias=bias)
+
+    def normal_init(module, mean=0, std=1, bias=0):
+        if hasattr(module, "weight") and module.weight is not None:
+            nn.init.normal_(module.weight, mean, std)
+
+    def deprecated_api_warning(name_dict, cls_name=None):
+        def deco(fn):
+            return fn
+        return deco
+
+    def _mod(name, **attrs):
+        m = types.ModuleType(name)
+        m.__path__ = []
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    mmcv = sys.modules.get("mmcv") or _mod("mmcv")
+    _mod("mmcv.cnn", PLUGIN_LAYERS=_Reg(), Conv2d=nn.Conv2d,
+         ConvModule=ConvModule, caffe2_xavier_init=caffe2_xavier_init,
+         normal_init=normal_init, xavier_init=xavier_init)
+    _mod("mmcv.cnn.bricks")
+    _mod("mmcv.cnn.bricks.transformer",
+         build_positional_encoding=build_positional_encoding,
+         build_transformer_layer_sequence=build_transformer_layer_sequence)
+    _mod("mmcv.cnn.bricks.registry", ATTENTION=_Reg())
+    runner = sys.modules.get("mmcv.runner") or _mod("mmcv.runner")
+    runner.BaseModule = getattr(runner, "BaseModule", BaseModule)
+    runner.ModuleList = nn.ModuleList
+    mmcv.runner = runner
+    _mod("mmcv.utils", IS_CUDA_AVAILABLE=False, IS_MLU_AVAILABLE=False)
+    _mod("mmcv.ops")
+    _mod("mmcv.ops.multi_scale_deform_attn",
+         MultiScaleDeformableAttnFunction=None,
+         multi_scale_deformable_attn_pytorch=(
+             multi_scale_deformable_attn_pytorch))
+
+    class _MSDAPlaceholder(nn.Module):
+        pass
+
+    for n in ("mmdet", "mmdet.core", "mmdet.core.anchor", "mmdet.models",
+              "mmdet.models.utils"):
+        if n not in sys.modules:
+            _mod(n)
+    sys.modules["mmdet.core.anchor"].MlvlPointGenerator = MlvlPointGenerator
+    _mod("mmdet.models.utils.transformer",
+         MultiScaleDeformableAttention=_MSDAPlaceholder)
+
+    mmengine = _mod("mmengine", ConfigDict=AttrDict)
+    _mod("mmengine.model", constant_init=constant_init,
+         xavier_init=xavier_init)
+
+    class _ModelsReg(_Reg):
+        pass
+
+    _mod("mmengine.registry", MODELS=_ModelsReg())
+    _mod("mmengine.utils", deprecated_api_warning=deprecated_api_warning)
+    mmengine.ConfigDict = AttrDict
+
+    mod = _load(
+        name,
+        "/root/reference/MaXTron_Tube-Link/mmdet/models/plugins/"
+        "msdeformattn_pixel_decoder.py",
+        package="tube_ref",
+    )
+    mod.__axialvs_wrap_cfg__ = _wrap
+    return mod

@@ -59,6 +59,65 @@ def measure_cpu_tflops():
     return 2 * n**3 / dt / 1e12
 
 
+def _inline_r50():
+    """torchvision is not in this image; FLOP-identical standard R50
+    (bottleneck, stride in 3x3) inline — timing-only, random init.
+    Returns (module, forward_fn, dims)."""
+    import torch.nn as nn
+
+    def BN(c):
+        # reference custom-BN semantics (resnet.py:617): eps=1e-3, m=0.01
+        return nn.BatchNorm2d(c, eps=1e-3, momentum=0.01)
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, mid, cout, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, mid, 1, bias=False)
+            self.bn1 = BN(mid)
+            self.conv2 = nn.Conv2d(mid, mid, 3, stride, 1, bias=False)
+            self.bn2 = BN(mid)
+            self.conv3 = nn.Conv2d(mid, cout, 1, bias=False)
+            self.bn3 = BN(cout)
+            self.downsample = (
+                nn.Sequential(nn.Conv2d(cin, cout, 1, stride, bias=False),
+                              BN(cout))
+                if (stride != 1 or cin != cout) else None)
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = torch.relu(self.bn2(self.conv2(y)))
+            return torch.relu(self.bn3(self.conv3(y)) + idn)
+
+    def make_layer(cin, mid, cout, blocks, stride):
+        layers = [Bottleneck(cin, mid, cout, stride)]
+        layers += [Bottleneck(cout, mid, cout) for _ in range(blocks - 1)]
+        return nn.Sequential(*layers)
+
+    class R50(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = BN(64)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = make_layer(64, 64, 256, 3, 1)
+            self.layer2 = make_layer(256, 128, 512, 4, 2)
+            self.layer3 = make_layer(512, 256, 1024, 6, 2)
+            self.layer4 = make_layer(1024, 512, 2048, 3, 2)
+
+    bb = R50()
+
+    def bb_forward(x):
+        x = torch.relu(bb.bn1(bb.conv1(x)))
+        x = bb.maxpool(x)
+        r2 = bb.layer1(x); r3 = bb.layer2(r2)
+        r4 = bb.layer3(r3); r5 = bb.layer4(r4)
+        return {"res2": r2, "res3": r3, "res4": r4, "res5": r5}
+
+    dims = {"res2": 256, "res3": 512, "res4": 1024, "res5": 2048}
+    return bb, bb_forward, dims
+
+
 def build_pipeline(backbone: str, image_size=(769, 1345)):
     from reference_shims import (
         load_kmax_pixel_decoder,
@@ -71,60 +130,7 @@ def build_pipeline(backbone: str, image_size=(769, 1345)):
     wc_mod = load_wc_msdeformattn()
 
     if backbone == "resnet50":
-        # torchvision is not in this image; FLOP-identical standard R50
-        # (bottleneck, stride in 3x3) inline — timing-only, random init
-        import torch.nn as nn
-
-        def BN(c):
-            # reference custom-BN semantics (resnet.py:617): eps=1e-3, m=0.01
-            return nn.BatchNorm2d(c, eps=1e-3, momentum=0.01)
-
-        class Bottleneck(nn.Module):
-            def __init__(self, cin, mid, cout, stride=1):
-                super().__init__()
-                self.conv1 = nn.Conv2d(cin, mid, 1, bias=False)
-                self.bn1 = BN(mid)
-                self.conv2 = nn.Conv2d(mid, mid, 3, stride, 1, bias=False)
-                self.bn2 = BN(mid)
-                self.conv3 = nn.Conv2d(mid, cout, 1, bias=False)
-                self.bn3 = BN(cout)
-                self.downsample = (
-                    nn.Sequential(nn.Conv2d(cin, cout, 1, stride, bias=False),
-                                  BN(cout))
-                    if (stride != 1 or cin != cout) else None)
-
-            def forward(self, x):
-                idn = x if self.downsample is None else self.downsample(x)
-                y = torch.relu(self.bn1(self.conv1(x)))
-                y = torch.relu(self.bn2(self.conv2(y)))
-                return torch.relu(self.bn3(self.conv3(y)) + idn)
-
-        def make_layer(cin, mid, cout, blocks, stride):
-            layers = [Bottleneck(cin, mid, cout, stride)]
-            layers += [Bottleneck(cout, mid, cout) for _ in range(blocks - 1)]
-            return nn.Sequential(*layers)
-
-        class R50(nn.Module):
-            def __init__(self):
-                super().__init__()
-                self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
-                self.bn1 = BN(64)
-                self.maxpool = nn.MaxPool2d(3, 2, 1)
-                self.layer1 = make_layer(64, 64, 256, 3, 1)
-                self.layer2 = make_layer(256, 128, 512, 4, 2)
-                self.layer3 = make_layer(512, 256, 1024, 6, 2)
-                self.layer4 = make_layer(1024, 512, 2048, 3, 2)
-
-        bb = R50()
-
-        def bb_forward(x):
-            x = torch.relu(bb.bn1(bb.conv1(x)))
-            x = bb.maxpool(x)
-            r2 = bb.layer1(x); r3 = bb.layer2(r2)
-            r4 = bb.layer3(r3); r5 = bb.layer4(r4)
-            return {"res2": r2, "res3": r3, "res4": r4, "res5": r5}
-
-        dims = {"res2": 256, "res3": 512, "res4": 1024, "res5": 2048}
+        bb, bb_forward, dims = _inline_r50()
     elif backbone == "convnext_large":
         cn = sys.modules["kmax_ref.backbone.convnext"]
         bb = cn.ConvNeXt(
@@ -287,6 +293,182 @@ def run_train_anchor(args):
     _merge_out(args.out, f"train_{args.backbone}", result)
 
 
+def run_tube_link_anchor(args):
+    """Reference Tube-Link VIS (MaXTron WC variant) per-tube inference on
+    host CPU — the denominator for tools/bench_tube_link.py's vs_baseline.
+
+    Pipeline: inline R50 (FLOP-identical, torchvision absent) + the
+    reference's REAL ``MSDeformAttnPixelDecoder`` with fused MSDA +
+    axial-trajectory attention (tests/reference_shims
+    .load_tube_link_pixel_decoder, `MaXTron_Tube-Link/mmdet/models/plugins/
+    msdeformattn_pixel_decoder.py:31-800`) + a FLOP-identical inline
+    Mask2Former tube head (9 masked cross-attn layers, 100 queries, per-layer
+    video mask heads — `models/video/tube_link_vis/mask2former_video_head.py
+    :495-576`; the mmcv MultiheadAttention/FFN bricks the head builds from
+    config are not importable without mmcv, so the decoder layer is standard
+    torch with identical dims). Config dims from
+    `configs/video/ytvis22/ytvis22_r50_maxtron_wc_5k_10k_15k.py:23-90`."""
+    import torch.nn as nn
+    import torch.nn.functional as F
+    from reference_shims import load_tube_link_pixel_decoder
+
+    mod = load_tube_link_pixel_decoder()
+    wrap = mod.__axialvs_wrap_cfg__
+    t_frames = args.clip_frames
+    h, w = args.image_size
+    num_classes = 40  # YTVIS
+    torch.manual_seed(0)
+
+    cpu_tflops = measure_cpu_tflops()
+    print(f"host practical fp32 matmul: {cpu_tflops:.3f} TFLOPS "
+          f"({torch.get_num_threads()} torch threads)")
+
+    bb, bb_forward, dims = _inline_r50()
+    enc_cfg = wrap(dict(
+        type="DetrTransformerEncoder", num_layers=6,
+        transformerlayers=dict(
+            type="BaseTransformerLayer",
+            attn_cfgs=dict(
+                type="MultiScaleDeformableAxialTrajectoryAttention",
+                embed_dims=256, num_heads=8, num_levels=3,
+                num_temporal_levels=2, num_temporal_layers=1,
+                num_temporal_dim=1024, num_points=4, im2col_step=64,
+                dropout=0.0, batch_first=False, skip_connect=True,
+                attn_drop=0.0, norm_cfg=None, init_cfg=None),
+            feedforward_channels=1024, ffn_dropout=0.0,
+            operation_order=("self_attn", "norm", "ffn", "norm")),
+        init_cfg=None))
+    pixdec = mod.MSDeformAttnPixelDecoder(
+        in_channels=[256, 512, 1024, 2048], strides=[4, 8, 16, 32],
+        feat_channels=256, out_channels=256, num_outs=3,
+        norm_cfg=wrap(dict(type="GN", num_groups=32)),
+        act_cfg=wrap(dict(type="ReLU")),
+        encoder=enc_cfg,
+        positional_encoding=wrap(dict(
+            type="SinePositionalEncoding", num_feats=128, normalize=True)))
+
+    class DecoderLayer(nn.Module):
+        """DetrTransformerDecoderLayer ('cross_attn','norm','self_attn',
+        'norm','ffn','norm'), embed 256, 8 heads, FFN 2048 ReLU."""
+
+        def __init__(self):
+            super().__init__()
+            self.cross = nn.MultiheadAttention(256, 8)
+            self.n1 = nn.LayerNorm(256)
+            self.self_attn = nn.MultiheadAttention(256, 8)
+            self.n2 = nn.LayerNorm(256)
+            self.fc1 = nn.Linear(256, 2048)
+            self.fc2 = nn.Linear(2048, 256)
+            self.n3 = nn.LayerNorm(256)
+
+        def forward(self, q, qp, kv, kp, attn_mask):
+            x, _ = self.cross(q + qp, kv + kp, kv, attn_mask=attn_mask,
+                              need_weights=False)
+            q = self.n1(q + x)
+            x, _ = self.self_attn(q + qp, q + qp, q, need_weights=False)
+            q = self.n2(q + x)
+            return self.n3(q + self.fc2(F.relu(self.fc1(q))))
+
+    class TubeHead(nn.Module):
+        """mask2former_video_head.py:495-576 forward (eval), bs=1 tube."""
+
+        def __init__(self):
+            super().__init__()
+            self.layers = nn.ModuleList([DecoderLayer() for _ in range(9)])
+            self.query_feat = nn.Embedding(100, 256)
+            self.query_embed = nn.Embedding(100, 256)
+            self.level_embed = nn.Embedding(3, 256)
+            self.pos3d = mod.PositionEmbeddingSine3D(128, normalize=True)
+            self.post_norm = nn.LayerNorm(256)
+            self.cls_embed = nn.Linear(256, num_classes + 1)
+            self.mask_embed = nn.Sequential(
+                nn.Linear(256, 256), nn.ReLU(inplace=True),
+                nn.Linear(256, 256), nn.ReLU(inplace=True),
+                nn.Linear(256, 256))
+
+        def forward_head(self, query, mask_feature, attn_size):
+            # (q, 1, c) queries; mask_feature (1, T, 256, H4, W4)
+            out = self.post_norm(query).transpose(0, 1)  # (1, q, c)
+            cls_pred = self.cls_embed(out)
+            emb = self.mask_embed(out)
+            mask_pred = torch.einsum(
+                "bqc,btchw->bqthw", emb, mask_feature)
+            am = F.interpolate(
+                mask_pred.flatten(0, 1), attn_size, mode="bilinear",
+                align_corners=False)
+            am = am.reshape(mask_pred.shape[:2] + (-1,))  # (1, q, T*hw)
+            am = (am.sigmoid() < 0.5).repeat_interleave(8, dim=0)
+            return cls_pred, mask_pred, am.detach()
+
+        def forward(self, mask_feature, memories):
+            # memories: 3 maps low->high res, each (T, 256, Hi, Wi)
+            inputs, poses, sizes = [], [], []
+            for i, m in enumerate(memories):
+                t, c, hi, wi = m.shape
+                x = m.flatten(2).permute(2, 0, 1).reshape(hi * wi * t, 1, c)
+                inputs.append(x + self.level_embed.weight[i])
+                p = self.pos3d(m[None], fmt="btchw")  # (1, T, 256, Hi, Wi)
+                poses.append(
+                    p.flatten(3).permute(1, 3, 0, 2).flatten(0, 1))
+                sizes.append((hi, wi))
+            q = self.query_feat.weight[:, None]
+            qp = self.query_embed.weight[:, None]
+            mf = mask_feature[None]  # (1, T, 256, H4, W4)
+            cls_pred, mask_pred, am = self.forward_head(q, mf, sizes[0])
+            preds = [(cls_pred, mask_pred)]
+            for i, layer in enumerate(self.layers):
+                lvl = i % 3
+                am[torch.where(am.sum(-1) == am.shape[-1])] = False
+                q = layer(q, qp, inputs[lvl], poses[lvl], am)
+                cls_pred, mask_pred, am = self.forward_head(
+                    q, mf, sizes[(i + 1) % 3])
+                preds.append((cls_pred, mask_pred))
+            return preds[-1]
+
+    head = TubeHead()
+    for m in (bb, pixdec, head):
+        m.eval()
+
+    x = torch.randn(t_frames, 3, h, w)
+
+    @torch.no_grad()
+    def tube_forward(x):
+        feats = bb_forward(x)
+        mask_feature, memories = pixdec(
+            [feats["res2"], feats["res3"], feats["res4"], feats["res5"]],
+            t_frames)
+        # (T, 256, H4, W4) mask features, memories low->high res
+        return head(mask_feature, memories)
+
+    t0 = time.perf_counter()
+    tube_forward(x)
+    print(f"warm-up tube: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        tube_forward(x)
+    sec_per_tube = (time.perf_counter() - t0) / args.iters
+    cpu_fps = t_frames / sec_per_tube
+    gpu_factor = A100_PRACTICAL_TFLOPS / cpu_tflops
+    result = {
+        "backbone": "resnet50",
+        "image_size": [h, w],
+        "clip_frames": t_frames,
+        "cpu_sec_per_tube": sec_per_tube,
+        "cpu_fps": cpu_fps,
+        "cpu_practical_tflops": cpu_tflops,
+        "a100_practical_tflops_assumed": A100_PRACTICAL_TFLOPS,
+        "gpu_scaling_factor": gpu_factor,
+        "reference_gpu_fps_estimate": cpu_fps * gpu_factor,
+        "method": "reference MSDeformAttnPixelDecoder (fused MSDA + "
+                  "axial-trajectory) via tests/reference_shims"
+                  ".load_tube_link_pixel_decoder + inline R50 and "
+                  "FLOP-identical Mask2Former tube head, fp32 eval no_grad "
+                  "on host CPU; scaled by practical-matmul throughput ratio",
+    }
+    print(json.dumps(result, indent=2))
+    _merge_out(args.out, "tube_link_resnet50", result)
+
+
 def _merge_out(out_name, key, result):
     out_path = os.path.join(os.path.dirname(__file__), "..", out_name)
     existing = {}
@@ -308,7 +490,16 @@ def main():
     ap.add_argument("--out", default="reference_anchor.json")
     ap.add_argument("--train", action="store_true",
                     help="measure the TRAINING step instead of inference")
+    ap.add_argument("--tube-link", action="store_true",
+                    help="measure the Tube-Link VIS per-tube pipeline "
+                         "(r50, default 360x640, T=5)")
+    ap.add_argument("--clip-frames", type=int, default=5,
+                    help="tube length for --tube-link")
     args = ap.parse_args()
+    if args.tube_link:
+        if args.image_size == [769, 1345]:
+            args.image_size = [360, 640]
+        return run_tube_link_anchor(args)
     if args.train:
         return run_train_anchor(args)
 
