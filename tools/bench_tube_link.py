@@ -73,12 +73,29 @@ def main():
     float(bench_loop(variables, images, iters))
     dt = time.perf_counter() - t0
     fps = clip_len * iters / dt
-    print(json.dumps({
+    result = {
         "metric": "YTVIS tube inference frames/sec/chip "
                   f"(TubeLinkVIS r50, {size[0]}x{size[1]}, T={clip_len}, bf16)",
         "value": round(fps, 3),
         "unit": "frames/sec",
-    }))
+    }
+    # measured CPU anchor (tools/bench_reference_torch.py --tube-link), same
+    # upper/central methodology as bench.py (docs/PERFORMANCE.md)
+    anchor_path = os.path.join(
+        os.path.dirname(__file__), "..", "reference_anchor.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as f:
+            anchors = json.load(f)
+        a = anchors.get("tube_link_resnet50")
+        if a and clip_len == a["clip_frames"]:
+            upper = a["reference_gpu_fps_estimate"]
+            central = upper * 0.35  # eager-efficiency retention, see docs
+            result["vs_baseline"] = round(fps / central, 3)
+            result["anchor_method"] = "measured_cpu_x_matmul_ratio"
+            result["anchor_cpu_fps"] = round(a["cpu_fps"], 4)
+            result["anchor_gpu_fps_upper_bound"] = round(upper, 2)
+            result["anchor_gpu_fps_central"] = round(central, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
