@@ -25,7 +25,9 @@ def get_default_config() -> ConfigNode:
             augmentations=[],
             pixel_mean=[123.675, 116.28, 103.53],
             pixel_std=[58.395, 57.12, 57.375],
-            dataset_mapper_name="coco_panoptic_kmaxdeeplab",
+            # "auto": resolve from meta-arch + train dataset family
+            # (data/build.py::resolve_mapper_name); explicit names override
+            dataset_mapper_name="auto",
         )
     )
 

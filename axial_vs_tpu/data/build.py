@@ -1,10 +1,35 @@
 """Mapper dispatch: cfg.input.dataset_mapper_name -> mapper instance
-(replaces the reference's DATASET_MAPPER_NAME switch in its trainers)."""
+(replaces the reference's DATASET_MAPPER_NAME switch in its trainers).
+
+``dataset_mapper_name: auto`` (the default) resolves from the meta-arch +
+train dataset name, mirroring how the reference binds pipelines to dataset
+types (mmdet datasets own their pipeline; d2 configs name their mapper):
+tube-link archs take their own target formats regardless of dataset, and
+kmax/maxtron archs pick panoptic/instance/vipseg mappers by dataset family.
+"""
 from __future__ import annotations
 
 
-def build_mapper(cfg, seed: int = 0):
+def resolve_mapper_name(cfg) -> str:
     name = cfg.input.dataset_mapper_name
+    if name != "auto":
+        return name
+    arch = cfg.model.meta_architecture
+    if arch in ("TubeLinkVIS", "TubeLinkVideoVIS"):
+        return "ytvis"
+    if arch == "TubeLinkVPS":
+        return "dvps"
+    train0 = cfg.datasets.train[0] if cfg.datasets.train else ""
+    low = train0.lower()
+    if low.startswith(("panovspw", "ov_vipseg", "vipseg")):
+        return "vipseg_panoptic_mapper"
+    if "instance" in low:
+        return "coco_instance"
+    return "coco_panoptic"
+
+
+def build_mapper(cfg, seed: int = 0):
+    name = resolve_mapper_name(cfg)
     common = dict(
         image_size=cfg.input.image_size,
         pixel_mean=cfg.input.pixel_mean,
@@ -12,8 +37,12 @@ def build_mapper(cfg, seed: int = 0):
         seed=seed,
     )
     if name in ("vipseg_panoptic_mapper", "vipseg"):
+        from .catalog import MetadataCatalog
         from .vipseg import VIPSegClipMapper
 
+        meta = MetadataCatalog.get(cfg.datasets.train[0]) if cfg.datasets.train else {}
+        cat_map = dict(meta.get("thing_dataset_id_to_contiguous_id", {}))
+        cat_map.update(meta.get("stuff_dataset_id_to_contiguous_id", {}))
         return VIPSegClipMapper(
             num_frames=cfg.input.num_video_frames,
             min_scale=cfg.input.min_scale,
@@ -21,6 +50,7 @@ def build_mapper(cfg, seed: int = 0):
             max_instances=cfg.model.kmax.trans_dec.num_object_queries,
             random_reverse=cfg.input.random_reverse,
             copy_paste=cfg.input.get("copy_paste", True),
+            category_id_map=cat_map or None,
             **common,
         )
     if name in ("coco_panoptic_kmaxdeeplab", "coco_panoptic"):

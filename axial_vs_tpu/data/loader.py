@@ -9,14 +9,20 @@ compute by keeping one batch in flight.
 Workers are PROCESSES by default (``use_processes=True``), matching the
 reference's detectron2/mmdet worker-process dataloaders: jpeg decode,
 copy-paste, and RLE run under the GIL, so threads cannot scale them on a
-real TPU host. Workers are forked (Linux) so the dataset/mapper transfer
-for free and — critically — the children never re-import jax (a spawned
-worker would re-run sitecustomize and open its own TPU client). Workers
-must not touch jax; they produce pure numpy batches.
+real TPU host. Workers are started via the ``forkserver`` (fallback:
+``spawn``) multiprocessing context — NEVER ``fork``: JAX parents are
+multithreaded, and a fork can inherit an arbitrary lock held at fork time,
+deadlocking the child (observed as workers stuck in ``futex_do_wait``;
+CPython itself warns "os.fork() ... will likely lead to a deadlock").
+The worker entrypoint is a module-level function over picklable state
+(dataset records + mapper) and pins ``JAX_PLATFORMS=cpu`` defensively so a
+transitive jax import in a child can never open its own TPU client; the
+data modules themselves never import jax.
 """
 from __future__ import annotations
 
 import multiprocessing as mp
+import os
 import queue
 import threading
 from typing import Callable, Iterator, Sequence
@@ -29,6 +35,46 @@ def _stack_tree(samples):
     if isinstance(first, dict):
         return {k: _stack_tree([s[k] for s in samples]) for k in first}
     return np.stack(samples)
+
+
+def _make_batch(dataset, mapper, batch_size, rng):
+    n = len(dataset)
+    idxs = rng.randint(0, n, batch_size)
+    samples = [mapper(dataset[i], dataset=dataset) for i in idxs]
+    batch = _stack_tree(samples)
+    # flatten (B, T, H, W, 3) -> (B*T, H, W, 3) for the model; image
+    # mappers (COCO panoptic/instance) already yield (B, H, W, 3)
+    imgs = batch["images"]
+    if imgs.ndim == 5:
+        batch["images"] = imgs.reshape(-1, *imgs.shape[2:])
+    return batch
+
+
+def _proc_worker(dataset, mapper, batch_size, seed, wid, out_q, stop):
+    """Module-level worker entrypoint (picklable for spawn/forkserver).
+
+    Runs numpy/PIL only. The env pin is defense-in-depth: if anything in
+    the unpickled mapper's import graph ever grows a jax import, the child
+    must not grab the TPU runtime.
+    """
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.pop("XLA_FLAGS", None)
+    rng = np.random.RandomState(seed * 1000 + wid)
+    while not stop.is_set():
+        batch = _make_batch(dataset, mapper, batch_size, rng)
+        while not stop.is_set():
+            try:
+                out_q.put(batch, timeout=0.5)
+                break
+            except queue.Full:
+                continue
+
+
+def _mp_context():
+    try:
+        return mp.get_context("forkserver")
+    except ValueError:  # platform without forkserver
+        return mp.get_context("spawn")
 
 
 class ClipDataLoader:
@@ -44,33 +90,20 @@ class ClipDataLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.use_processes = use_processes
-        self._stop = threading.Event()
         self._threads = []
         self._procs = []
         if use_processes:
-            self._ctx = mp.get_context("fork")
+            self._ctx = _mp_context()
+            self._stop = self._ctx.Event()
             self._mpq = self._ctx.Queue(maxsize=max(prefetch, 1))
         else:
+            self._stop = threading.Event()
             self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
-
-    def _make_batch(self, rng):
-        n = len(self.dataset)
-        idxs = rng.randint(0, n, self.batch_size)
-        samples = [self.mapper(self.dataset[i], dataset=self.dataset)
-                   for i in idxs]
-        batch = _stack_tree(samples)
-        # flatten (B, T, H, W, 3) -> (B*T, H, W, 3) for the model;
-        # image mappers (COCO panoptic/instance) already yield
-        # (B, H, W, 3) — leave those alone
-        imgs = batch["images"]
-        if imgs.ndim == 5:
-            batch["images"] = imgs.reshape(-1, *imgs.shape[2:])
-        return batch
 
     def _worker(self, wid: int):
         rng = np.random.RandomState(self.seed * 1000 + wid)
         while not self._stop.is_set():
-            batch = self._make_batch(rng)
+            batch = _make_batch(self.dataset, self.mapper, self.batch_size, rng)
             while not self._stop.is_set():
                 try:
                     self._queue.put(batch, timeout=0.5)
@@ -78,17 +111,17 @@ class ClipDataLoader:
                 except queue.Full:
                     continue
 
-    def _proc_worker(self, wid: int):
-        # runs in a forked child: numpy/PIL only, never jax
-        rng = np.random.RandomState(self.seed * 1000 + wid)
-        while True:
-            self._mpq.put(self._make_batch(rng))
-
     def _start(self):
         if self.use_processes:
+            # materialize lazy dataset views once so children don't each
+            # re-evaluate them (and so the pickle is a plain list)
+            dataset = list(self.dataset)
             for wid in range(self.num_workers):
                 p = self._ctx.Process(
-                    target=self._proc_worker, args=(wid,), daemon=True)
+                    target=_proc_worker,
+                    args=(dataset, self.mapper, self.batch_size, self.seed,
+                          wid, self._mpq, self._stop),
+                    daemon=True)
                 p.start()
                 self._procs.append(p)
         else:
@@ -98,19 +131,53 @@ class ClipDataLoader:
                 th.start()
                 self._threads.append(th)
 
+    def _get_batch(self, timeout: float = 120.0):
+        """Bounded get with a liveness watchdog: if every worker died
+        (e.g. a mapper exception), raise instead of blocking forever."""
+        if not self.use_processes:
+            return self._queue.get()
+        deadline = timeout
+        while True:
+            try:
+                return self._mpq.get(timeout=min(5.0, deadline))
+            except queue.Empty:
+                deadline -= 5.0
+                if all(not p.is_alive() for p in self._procs):
+                    raise RuntimeError(
+                        "all ClipDataLoader workers exited; exitcodes="
+                        f"{[p.exitcode for p in self._procs]}")
+                if deadline <= 0:
+                    raise TimeoutError(
+                        f"no batch produced within {timeout:.0f}s "
+                        f"({sum(p.is_alive() for p in self._procs)} live workers)")
+
     def __iter__(self) -> Iterator:
         if not self._threads and not self._procs:
             self._start()
         while True:
-            yield self._mpq.get() if self.use_processes else self._queue.get()
+            yield self._get_batch()
 
     def close(self):
         self._stop.set()
+        # drain so producers blocked on a full queue observe the stop flag
+        try:
+            while True:
+                self._mpq.get_nowait()
+        except (queue.Empty, AttributeError):
+            pass
         for p in self._procs:
-            p.terminate()
+            p.join(timeout=5.0)
         for p in self._procs:
-            p.join(timeout=2.0)
+            if p.is_alive():
+                p.terminate()
+                p.join(timeout=2.0)
+            if p.is_alive():
+                p.kill()
+                p.join(timeout=2.0)
         self._procs = []
+        if self.use_processes:
+            self._mpq.close()
+            self._mpq.join_thread()
 
 
 def device_prefetch(iterator, placement_fn, depth: int = 1):

@@ -75,7 +75,12 @@ class VIPSegClipMapper:
     def __init__(self, *, image_size, num_frames=2, min_scale=0.3, max_scale=1.7,
                  max_instances=128, copy_paste=True, random_reverse=False,
                  pixel_mean=(123.675, 116.28, 103.53),
-                 pixel_std=(58.395, 57.12, 57.375), seed=0):
+                 pixel_std=(58.395, 57.12, 57.375), seed=0,
+                 category_id_map=None):
+        #: dataset category_id -> contiguous train id (ref mapper maps via
+        #: metadata thing/stuff_dataset_id_to_contiguous_id); None = identity
+        #: (real VIPSeg ids are already contiguous 0..123)
+        self.category_id_map = dict(category_id_map or {}) or None
         self.image_size = tuple(image_size)
         self.num_frames = num_frames
         self.max_instances = max_instances
@@ -172,6 +177,10 @@ class VIPSegClipMapper:
                 if not binary.any():
                     continue
                 cls = seg["category_id"]
+                if self.category_id_map is not None:
+                    if cls not in self.category_id_map:
+                        continue  # category outside the train label space
+                    cls = self.category_id_map[cls]
                 semantic[binary] = cls
                 if not seg.get("isthing", True) and cls in stuff_slot_by_class:
                     j = stuff_slot_by_class[cls]

@@ -44,6 +44,8 @@ class CheckpointManager:
         return self._preempted
 
     def save(self, step: int, state, force: bool = False):
+        if int(step) in (self._mgr.all_steps() or ()):  # re-run over an old
+            return  # output_dir: keep the existing checkpoint (d2 behavior)
         self._mgr.save(
             int(step), args=ocp.args.StandardSave(state), force=force
         )

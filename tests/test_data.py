@@ -94,6 +94,54 @@ def test_copy_paste_and_loader(synthetic_vipseg):
     assert np.isfinite(batch["images"]).all()
 
 
+def test_loader_spawn_safe_after_jax(synthetic_vipseg):
+    """Regression for the round-3 fork deadlock: process workers must come
+    from a spawn/forkserver context (never fork — the JAX parent is
+    multithreaded and a forked child can inherit a held lock), and
+    repeated construct/iterate/destroy cycles after JAX is initialized
+    must neither hang nor leave live children behind."""
+    import jax
+
+    jax.jnp_ones = jax.numpy.ones((8,))  # ensure the backend is live
+    img_root, pan_root, json_path = synthetic_vipseg
+    videos, _ = load_vipseg_video_json(json_path, img_root, pan_root)
+    mapper = VIPSegClipMapper(
+        image_size=(48, 64), num_frames=2, max_instances=8,
+        copy_paste=False, seed=3)
+    for trial in range(3):
+        loader = ClipDataLoader(videos, mapper, batch_size=2, num_workers=2,
+                                prefetch=1, seed=trial)
+        assert loader._ctx.get_start_method() in ("forkserver", "spawn")
+        it = iter(loader)
+        b1, b2 = next(it), next(it)
+        assert b1["images"].shape == (4, 48, 64, 3)
+        assert np.isfinite(b2["images"]).all()
+        procs = list(loader._procs)
+        loader.close()
+        assert all(not p.is_alive() for p in procs)
+
+
+def test_loader_watchdog_on_dead_workers(synthetic_vipseg):
+    """If every worker dies (mapper raises), the consumer must get an
+    exception, not block forever."""
+    import pytest
+
+    img_root, pan_root, json_path = synthetic_vipseg
+    videos, _ = load_vipseg_video_json(json_path, img_root, pan_root)
+
+    loader = ClipDataLoader(videos, _BoomMapper(), batch_size=1,
+                            num_workers=1, prefetch=1)
+    it = iter(loader)
+    with pytest.raises(RuntimeError, match="workers exited"):
+        next(it)
+    loader.close()
+
+
+class _BoomMapper:
+    def __call__(self, video, dataset=None):
+        raise ValueError("boom")
+
+
 def test_transform_replay_consistency(rng):
     tfm = build_train_transforms((32, 48), 0.5, 1.5)
     img0 = rng.randint(0, 255, (40, 60, 3), np.uint8)

@@ -17,10 +17,14 @@ pytestmark = _pytest.mark.parity
 
 def torch_msda_oracle(value, spatial_shapes, locs, weights):
     """Independent torch implementation via grid_sample: value (B,S,M,D),
-    locs (B,Lq,M,L,P,2) in [0,1], weights (B,Lq,M,L,P)."""
-    b, s, m, d = value.shape
+    locs (B,Lq,M,L,P,2) in [0,1], weights (B,Lq,M,L,P). Accepts numpy or
+    torch tensors (tensors keep autograd — the gradient-oracle path, the
+    reference's own gradcheck strategy for its CUDA kernel, ops/test.py)."""
+    value_t, locs, weights = (
+        x if torch.is_tensor(x) else torch.from_numpy(x)
+        for x in (value, locs, weights))
+    b, s, m, d = value_t.shape
     _, lq, _, L, p, _ = locs.shape
-    value_t = torch.from_numpy(value)
     out = torch.zeros(b, lq, m, d, dtype=torch.float64)
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
@@ -28,17 +32,18 @@ def torch_msda_oracle(value, spatial_shapes, locs, weights):
         start += h * w
         # (B*M, D, H, W)
         v = v.permute(0, 2, 3, 1).reshape(b * m, d, h, w)
-        grid = torch.from_numpy(locs[:, :, :, lvl]) * 2 - 1  # (B, Lq, M, P, 2)
+        grid = locs[:, :, :, lvl] * 2 - 1  # (B, Lq, M, P, 2)
         grid = grid.permute(0, 2, 1, 3, 4).reshape(b * m, lq, p, 2)
         sampled = TF.grid_sample(
             v, grid, mode="bilinear", padding_mode="zeros", align_corners=False
         )  # (B*M, D, Lq, P)
-        wgt = torch.from_numpy(weights[:, :, :, lvl]).permute(0, 2, 1, 3).reshape(
+        wgt = weights[:, :, :, lvl].permute(0, 2, 1, 3).reshape(
             b * m, 1, lq, p
         )
         contrib = (sampled * wgt).sum(-1)  # (B*M, D, Lq)
-        out += contrib.reshape(b, m, d, lq).permute(0, 3, 1, 2)
-    return out.reshape(b, lq, m, d).reshape(b, lq, m * d).numpy()
+        out = out + contrib.reshape(b, m, d, lq).permute(0, 3, 1, 2)
+    out = out.reshape(b, lq, m, d).reshape(b, lq, m * d)
+    return out if value_t.requires_grad or locs.requires_grad else out.numpy()
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -65,6 +70,53 @@ def test_msda_matches_torch_oracle(seed):
         jnp.asarray(weights.astype(np.float32)),
     )
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_msda_vjp_matches_torch_autograd(seed):
+    """Backward-pass oracle (VERDICT r3 #5): the XLA-autodiff VJP of
+    ms_deform_attn must match torch autograd through the grid_sample
+    oracle — the reference gradchecks its CUDA kernel the same way
+    (MaXTron_Video-kMaX/kmax_deeplab/modeling/spatial_encoder/ops/
+    test.py:34-50). Locations are kept off bilinear cell boundaries
+    (where the derivative has measure-zero kinks) by construction."""
+    rng = np.random.RandomState(100 + seed)
+    b, m, d, p = 2, 2, 6, 3
+    spatial_shapes = ((5, 7), (3, 4))
+    L = len(spatial_shapes)
+    s = sum(h * w for h, w in spatial_shapes)
+    lq = 9
+    value = rng.randn(b, s, m, d)
+    # interior + a few clearly-out-of-bounds points; nudge off exact
+    # gridlines so torch/XLA subgradient choices can't differ
+    locs = rng.rand(b, lq, m, L, p, 2) * 1.3 - 0.15
+    locs += 1e-3 * np.sign(rng.randn(*locs.shape))
+    weights = rng.rand(b, lq, m, L, p)
+    weights /= weights.reshape(b, lq, m, -1).sum(-1, keepdims=True).reshape(
+        b, lq, m, 1, 1)
+    cot = rng.randn(b, lq, m * d)
+
+    vt = torch.tensor(value, requires_grad=True)
+    lt = torch.tensor(locs, requires_grad=True)
+    wt = torch.tensor(weights, requires_grad=True)
+    out_t = torch_msda_oracle(vt, spatial_shapes, lt, wt)
+    out_t.backward(torch.from_numpy(cot))
+
+    def f(v, l, w):
+        out = ms_deform_attn(v, spatial_shapes, l, w)
+        return jnp.sum(out * jnp.asarray(cot, jnp.float32))
+
+    gv, gl, gw = jax.grad(f, argnums=(0, 1, 2))(
+        jnp.asarray(value, jnp.float32),
+        jnp.asarray(locs, jnp.float32),
+        jnp.asarray(weights, jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(gv), vt.grad.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(gl), lt.grad.numpy(), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(gw), wt.grad.numpy(), rtol=2e-3, atol=2e-4)
 
 
 def test_msda_grads_finite():

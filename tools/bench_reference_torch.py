@@ -405,7 +405,9 @@ def run_tube_link_anchor(args):
             inputs, poses, sizes = [], [], []
             for i, m in enumerate(memories):
                 t, c, hi, wi = m.shape
-                x = m.flatten(2).permute(2, 0, 1).reshape(hi * wi * t, 1, c)
+                # frame-major (t*hw) to match the pos encodings below and
+                # the attention masks (ref mask2former_video_head.py:522)
+                x = m.flatten(2).permute(0, 2, 1).reshape(t * hi * wi, 1, c)
                 inputs.append(x + self.level_embed.weight[i])
                 p = self.pos3d(m[None], fmt="btchw")  # (1, T, 256, Hi, Wi)
                 poses.append(
@@ -486,7 +488,8 @@ def main():
     ap.add_argument("--backbone", default="resnet50",
                     choices=["resnet50", "convnext_large"])
     ap.add_argument("--iters", type=int, default=2)
-    ap.add_argument("--image-size", type=int, nargs=2, default=[769, 1345])
+    ap.add_argument("--image-size", type=int, nargs=2, default=None,
+                    help="default 769x1345 (kMaX) or 360x640 (--tube-link)")
     ap.add_argument("--out", default="reference_anchor.json")
     ap.add_argument("--train", action="store_true",
                     help="measure the TRAINING step instead of inference")
@@ -496,9 +499,9 @@ def main():
     ap.add_argument("--clip-frames", type=int, default=5,
                     help="tube length for --tube-link")
     args = ap.parse_args()
+    if args.image_size is None:
+        args.image_size = [360, 640] if args.tube_link else [769, 1345]
     if args.tube_link:
-        if args.image_size == [769, 1345]:
-            args.image_size = [360, 640]
         return run_tube_link_anchor(args)
     if args.train:
         return run_train_anchor(args)

@@ -87,7 +87,8 @@ def main():
         with open(anchor_path) as f:
             anchors = json.load(f)
         a = anchors.get("tube_link_resnet50")
-        if a and clip_len == a["clip_frames"]:
+        if (a and clip_len == a["clip_frames"]
+                and a.get("image_size") == list(size)):
             upper = a["reference_gpu_fps_estimate"]
             central = upper * 0.35  # eager-efficiency retention, see docs
             result["vs_baseline"] = round(fps / central, 3)
