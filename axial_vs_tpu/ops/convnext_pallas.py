@@ -53,14 +53,23 @@ def _kernel(xm1_ref, x0_ref, xp1_ref, kw_ref, kb_ref, ls_ref, lb_ref,
     # per-slice in registers and accumulate f32
     colp = jnp.pad(col, ((0, 0), (3, 3), (0, 0)))
 
-    acc = jnp.broadcast_to(kb_ref[0].astype(jnp.float32),
-                           (th, w, col.shape[2]))
     # dx outer: ONE sublane shift + f32 upcast per dx column (7 total);
-    # the dy taps inside are plain row offsets (free addressing)
+    # the dy taps inside are plain row offsets (free addressing).
+    # SEVEN INDEPENDENT per-dx accumulators tree-combined at the end — a
+    # single 49-FMA serial chain is latency-bound on the VPU and measured
+    # 1.65x slower (round-4 tools/exp_dwconv_variants.py: 1.89 -> 1.14 ms
+    # at the stage-0 shape). The f32 sum reassociation moves the bf16
+    # output by <= 2 ulp.
+    parts = []
     for dx in range(7):
         sh = colp[:, dx:dx + w].astype(jnp.float32)
-        for dy in range(7):
-            acc = acc + sh[dy:dy + th] * kw_ref[dy * 7 + dx]
+        p = sh[0:th] * kw_ref[dx]
+        for dy in range(1, 7):
+            p = p + sh[dy:dy + th] * kw_ref[dy * 7 + dx]
+        parts.append(p)
+    acc = kb_ref[0].astype(jnp.float32) + (
+        ((parts[0] + parts[1]) + (parts[2] + parts[3]))
+        + ((parts[4] + parts[5]) + parts[6]))
     # LayerNorm over channels, f32 (matches ops.norm.LayerNorm)
     mean = jnp.mean(acc, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(acc - mean), axis=-1, keepdims=True)
@@ -71,11 +80,18 @@ def _kernel(xm1_ref, x0_ref, xp1_ref, kw_ref, kb_ref, ls_ref, lb_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "eps"))
 def dwconv7x7_layernorm(x, kernel, bias, ln_scale, ln_bias,
-                        tile_h: int = 8, eps: float = 1e-6):
+                        tile_h: int | None = None, eps: float = 1e-6):
     """x (N, H, W, C) bf16; kernel (7, 7, 1, C) (flax HWIO, depthwise);
     bias/ln_scale/ln_bias (C,) f32 -> (N, H, W, C) bf16 =
-    LayerNorm(dwconv7x7_same(x) + bias) * ln_scale + ln_bias."""
+    LayerNorm(dwconv7x7_same(x) + bias) * ln_scale + ln_bias.
+
+    tile_h None = auto (8): the round-4 sweep of the ILP kernel found
+    tile 8 best-or-tied at every ConvNeXt-L stage shape (16 regressed
+    stage2 0.40 -> 0.65 ms in the final sweep; >= 24 destabilized the
+    tunnel worker and gained nothing)."""
     n, h, w, c = x.shape
+    if tile_h is None:
+        tile_h = 8
     nh = pl.cdiv(h, tile_h)
     kw = kernel.reshape(49, c).astype(jnp.float32)
     kb = bias.reshape(1, c).astype(jnp.float32)
@@ -225,12 +241,17 @@ def _block_kernel(xm1_ref, x0_ref, xp1_ref, xres_ref,
         col = jnp.where((g >= 0) & (g < height), col, jnp.zeros_like(col))
         w = col.shape[1]
         colp = jnp.pad(col, ((0, 0), (3, 3), (0, 0)))
-        acc = jnp.broadcast_to(kb_ref[0].astype(jnp.float32),
-                               (th, w, col.shape[2]))
+        # 7 independent per-dx accumulators (ILP; see _kernel above)
+        parts = []
         for dx in range(7):
             sh = colp[:, dx:dx + w].astype(jnp.float32)
-            for dy in range(7):
-                acc = acc + sh[dy:dy + th] * kw_ref[dy * 7 + dx]
+            p = sh[0:th] * kw_ref[dx]
+            for dy in range(1, 7):
+                p = p + sh[dy:dy + th] * kw_ref[dy * 7 + dx]
+            parts.append(p)
+        acc = kb_ref[0].astype(jnp.float32) + (
+            ((parts[0] + parts[1]) + (parts[2] + parts[3]))
+            + ((parts[4] + parts[5]) + parts[6]))
         mean = jnp.mean(acc, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(acc - mean), axis=-1, keepdims=True)
         y = (acc - mean) * jax.lax.rsqrt(var + eps)

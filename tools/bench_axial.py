@@ -50,7 +50,9 @@ def main():
     @jax.jit
     def loop(vs, x, niter):
         def body(i, carry):
-            out = module.apply(vs, x + carry * 1e-12, train=False)
+            # cast: a f32 carry would promote bf16 x to f32 (wrong bench)
+            out = module.apply(
+                vs, x + (carry * 1e-12).astype(x.dtype), train=False)
             return jnp.mean(out, dtype=jnp.float32)
 
         return jax.lax.fori_loop(0, niter, body, jnp.float32(0))

@@ -92,7 +92,8 @@ def main():
             @jax.jit
             def loop(x, niter):
                 def body(i, carry):
-                    y = x + carry * 1e-12
+                    # cast: f32 carry would promote bf16 x (wrong bench)
+                    y = x + (carry * 1e-12).astype(x.dtype)
                     for _ in range(blocks):
                         y = fn(y, p, **kw) if kw else fn(y, p)
                     return jnp.mean(y, dtype=jnp.float32)

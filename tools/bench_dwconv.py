@@ -52,19 +52,24 @@ def main():
             if th >= 2 * h:
                 continue
 
+            chain = 8  # amortize the ~1.4 ms/iter fori_loop meter overhead
+
             @jax.jit
             def loop(x, k, b, ls, lb, niter, th=th):
                 def body(i, carry):
-                    out = dwconv7x7_layernorm(
-                        x + carry * 1e-12, k, b, ls, lb, tile_h=th)
-                    return jnp.mean(out, dtype=jnp.float32)
+                    # cast the checksum feed-in to x.dtype: a f32 carry
+                    # would PROMOTE bf16 x to f32 and bench the wrong kernel
+                    y = x + (carry * 1e-12).astype(x.dtype)
+                    for _ in range(chain):
+                        y = dwconv7x7_layernorm(y, k, b, ls, lb, tile_h=th)
+                    return jnp.mean(y, dtype=jnp.float32)
 
                 return jax.lax.fori_loop(0, niter, body, jnp.float32(0))
 
             float(loop(x, k, b, ls, lb, 1))
             t0 = time.perf_counter()
             float(loop(x, k, b, ls, lb, args.iters))
-            dt = (time.perf_counter() - t0) / args.iters * 1e3
+            dt = (time.perf_counter() - t0) / (args.iters * chain) * 1e3
             flops = 2 * 49 * n * h * w * c
             print(f"{name} ({n},{h},{w},{c}) tile_h={th:3d}: {dt:6.3f} ms "
                   f"({flops/dt*1e-9:.2f} TFLOP/s)")

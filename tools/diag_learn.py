@@ -33,6 +33,17 @@ def main():
     ap.add_argument("--every", type=int, default=25)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--exact-matching", action="store_true")
+    ap.add_argument("--decay", action="store_true",
+                    help="poly-decay lr to 0 over --steps (max_iter=steps) "
+                         "so the BN running stats converge onto frozen "
+                         "weights by the end; default keeps lr ~flat")
+    ap.add_argument("--head-mult", type=float, default=1.0,
+                    help="solver.prediction_head_multiplier. The reference "
+                         "default 0.1 is tuned for fine-tuning from a "
+                         "pretrained image checkpoint; from-scratch "
+                         "overfitting needs the heads (esp. the mask-logit "
+                         "BN gamma, init 0.1 = the softmax temperature) to "
+                         "move at full lr.")
     ap.add_argument("--losses", default="labels,masks,pixels,aux_semantic")
     ap.add_argument("--out", default="/tmp/axialvs_diag")
     args = ap.parse_args()
@@ -73,7 +84,8 @@ def main():
     cfg.model.kmax.trans_dec.dec_layers = [1, 1, 1]
     cfg.solver.base_lr = args.lr
     cfg.solver.warmup_iters = 0
-    cfg.solver.max_iter = args.steps * 10
+    cfg.solver.max_iter = args.steps if args.decay else args.steps * 10
+    cfg.solver.prediction_head_multiplier = args.head_mult
 
     module = build_segmenter(cfg, num_frames=t, train=True)
     criterion = SetCriterion(
@@ -152,6 +164,16 @@ def main():
             "mean_void_prob": cls_prob[..., -1].mean(),
         }
 
+    def mask_bn_gammas(params):
+        """All pixel_space_mask_batch_norm scale values (the softmax
+        temperature of the mask logits; init 0.1 per reference)."""
+        out = []
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+            keys = [p.key for p in path if hasattr(p, "key")]
+            if "pixel_space_mask_batch_norm" in keys and keys[-1] == "scale":
+                out.append(round(float(jnp.ravel(leaf)[0]), 4))
+        return out
+
     def gnorms(params, grads):
         flat = jax.tree_util.tree_leaves_with_path(grads)
         groups = {}
@@ -192,6 +214,7 @@ def main():
                 "matched_cls": round(float(p["matched_cls"]), 4),
                 "max_cls": round(float(p["max_nonvoid_prob"]), 4),
                 "void": round(float(p["mean_void_prob"]), 4),
+                "mask_bn_gamma": mask_bn_gammas(state.params),
                 "min": round((time.time() - t0) / 60, 1),
             }
             print(json.dumps(rec), flush=True)

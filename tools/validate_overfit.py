@@ -38,7 +38,22 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--eval-every", type=int, default=100)
     ap.add_argument("--target", type=float, default=0.9)
-    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--head-mult", type=float, default=1.0,
+                    help="solver.prediction_head_multiplier. The reference "
+                         "default 0.1 is tuned for fine-tuning from "
+                         "pretrained image checkpoints; from-scratch "
+                         "overfitting at a short horizon needs the heads "
+                         "at full lr. Diagnosed round 4 (tools/diag_learn."
+                         "py): the mask-logit BN gamma (init 0.1, "
+                         "reference-exact) IS the softmax temperature of "
+                         "the masks, and it can only grow ~lr*mult per "
+                         "Adam step — at the old 5e-4 x 0.1 the per-pixel "
+                         "winning prob could never cross the 0.4 "
+                         "pixel-confidence inference threshold within any "
+                         "reasonable step budget, which is what made VPQ "
+                         "sit at 0.0 while the masks' argmax was already "
+                         "~0.9 IoU (threshold-free probe).")
     ap.add_argument("--out", default="/tmp/axialvs_overfit")
     args = ap.parse_args()
 
@@ -90,8 +105,15 @@ def main():
     cfg.model.kmax.pixel_dec.dec_channels = [64, 48, 32, 16]
     cfg.model.kmax.trans_dec.dec_layers = [1, 1, 1]
     cfg.solver.base_lr = args.lr
+    cfg.solver.prediction_head_multiplier = args.head_mult
     cfg.solver.warmup_iters = 0  # warmup off (VERDICT task #2)
-    cfg.solver.max_iter = args.steps * 10  # keep poly decay nearly flat
+    # poly-decay ALL the way to 0 within the run (the reference's own
+    # schedule shape): as the lr anneals the params freeze, so the BN
+    # running stats (momentum 0.01 ~ 100-step memory) converge onto the
+    # final weights and eval-mode (running-stat) inference matches
+    # train-mode — without this the eval probe lags ~100 steps behind a
+    # still-moving model and VPQ wobbles (diagnosed round 4, diag_learn)
+    cfg.solver.max_iter = args.steps
     cfg.output_dir = args.out
     cfg.datasets.test = [name]
 
