@@ -9,16 +9,24 @@ we must also flip ``jax.config`` after import.
 """
 import os
 
+#: AXIALVS_TEST_TPU=1 keeps the real backend so the TPU-gated Pallas
+#: parity tests (tests/test_convnext_pallas.py) can run on the chip:
+#:   AXIALVS_TEST_TPU=1 pytest tests/test_convnext_pallas.py -q
+#: (serialize with anything else that owns the single TPU process slot)
+_ON_TPU = os.environ.get("AXIALVS_TEST_TPU") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
+if not _ON_TPU and "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: this sandbox has ONE CPU core; without it every
 # test process re-traces and re-compiles identical programs
 jax.config.update(
