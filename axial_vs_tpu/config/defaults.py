@@ -55,6 +55,7 @@ def get_default_config() -> ConfigNode:
                     layer_scale_init_value=1e-6,
                     use_grn=False,  # True -> ConvNeXtV2
                     use_scan=False,  # nn.scan blocks/stage (fast compile -L)
+                    scan_unroll=3,  # blocks inlined per scan iteration
                 )
             ),
             swin=ConfigNode(

@@ -246,6 +246,12 @@ class ConvNeXt(nn.Module):
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     remat: bool = False  # jax.checkpoint each block (train-memory vs FLOPs)
     use_scan: bool = False  # nn.scan blocks per stage (fast compile for -L)
+    #: lax.scan unroll factor under use_scan: the stage-2 while loop's
+    #: per-iteration machinery profiled ~5.6 ms/clip at ConvNeXt-L 769x1345
+    #: (27 iterations; "while.32" in the round-4 trace) — unrolling a few
+    #: blocks per iteration amortizes it while keeping the compile payload
+    #: ~depth/unroll times smaller than a full unroll
+    scan_unroll: int = 3
     dtype: Any = None
 
     @nn.compact
@@ -286,12 +292,16 @@ class ConvNeXt(nn.Module):
                 body = ConvNeXtBlockScanBody if not self.remat else nn.remat(
                     ConvNeXtBlockScanBody, static_argnums=(3,)
                 )
+                unroll = max(1, min(self.scan_unroll, self.depths[i]))
+                while self.depths[i] % unroll:
+                    unroll -= 1  # lax.scan unroll must divide the length
                 scanned = nn.scan(
                     body,
                     variable_axes={"params": 0},
                     split_rngs={"params": True, "dropout": True},
                     in_axes=(0, nn.broadcast),
                     length=self.depths[i],
+                    unroll=unroll,
                 )(
                     dim=self.dims[i],
                     layer_scale_init_value=self.layer_scale_init_value,

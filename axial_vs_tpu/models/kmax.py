@@ -114,6 +114,7 @@ def build_backbone(cfg, dtype=None):
             use_grn=bool(c.use_grn),
             out_features=out_features,
             use_scan=bool(c.get("use_scan", False)),
+            scan_unroll=int(c.get("scan_unroll", 3)),
             remat=bool(cfg.model.backbone.get("remat", False)),
             dtype=dtype,
             name="backbone",

@@ -99,6 +99,9 @@ def main():
         # scan blocks per stage keeps the program small; --no-scan unrolls
         # all 108 blocks (bigger/slower compile, no while-loop overhead)
         cfg.model.backbone.convnext.use_scan = "--no-scan" not in argv
+        if "--scan-unroll" in argv:
+            cfg.model.backbone.convnext.scan_unroll = int(
+                argv[argv.index("--scan-unroll") + 1])
     cfg.model.num_classes = 124
     cfg.model.dtype = "bfloat16"
     cfg.input.image_size = list(image_size)
