@@ -34,7 +34,12 @@ def is_main_process() -> bool:
 
 def gather_object(obj, max_bytes: int = 1 << 28):
     """All-gather a picklable object across hosts; returns list (one per
-    process). Single-process: [obj]."""
+    process). Single-process: [obj].
+
+    Two rounds: an 8-byte size allgather first, then one buffer allgather
+    padded to the LARGEST payload (all processes must agree on the array
+    shape) — the transfer scales with the actual object size, not with
+    ``max_bytes``."""
     if jax.process_count() == 1:
         return [obj]
     from jax.experimental import multihost_utils
@@ -42,9 +47,10 @@ def gather_object(obj, max_bytes: int = 1 << 28):
     payload = pickle.dumps(obj)
     n = len(payload)
     assert n <= max_bytes, f"object too large to gather ({n} bytes)"
-    buf = np.zeros((max_bytes,), np.uint8)
-    buf[:n] = np.frombuffer(payload, np.uint8)
     sizes = multihost_utils.process_allgather(np.asarray([n], np.int64))
+    width = int(sizes.max())
+    buf = np.zeros((width,), np.uint8)
+    buf[:n] = np.frombuffer(payload, np.uint8)
     datas = multihost_utils.process_allgather(buf)
     return [
         pickle.loads(datas[i, : int(sizes[i, 0])].tobytes())
