@@ -62,10 +62,13 @@ def main():
     host = np.random.RandomState(0)
 
     def fill(s):
+        # zero-mean: an all-positive fill makes activations grow
+        # exponentially with depth (bf16 overflow -> NaN loss in the
+        # recorded artifact after ~30 steps, observed round 4)
         fan_in = s.shape[-2] if len(s.shape) >= 2 else 1
         scale = min(0.5, 1.0 / np.sqrt(max(fan_in, 1)))
         return jnp.asarray(
-            host.uniform(0.2, 1.0, s.shape).astype(np.float32) * scale,
+            host.uniform(-0.6, 0.6, s.shape).astype(np.float32) * scale,
             dtype=s.dtype)
 
     variables = jax.tree.map(fill, shapes)

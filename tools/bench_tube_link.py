@@ -69,6 +69,11 @@ def main():
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     float(bench_loop(variables, images, 1))
+    if "--profile" in argv:
+        jax.profiler.start_trace(".profile")
+        float(bench_loop(variables, images, 3))
+        jax.profiler.stop_trace()
+        print("trace written to .profile/ (tools/analyze_profile.py)")
     t0 = time.perf_counter()
     float(bench_loop(variables, images, iters))
     dt = time.perf_counter() - t0
