@@ -123,6 +123,46 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _StemS2D(nn.Module):
+    """4x4/4 patchify stem as space-to-depth + one matmul.
+
+    Numerically equivalent to ``nn.Conv(F, (4, 4), strides=(4, 4))`` with
+    default SAME padding, and declares the identical {kernel, bias} param
+    tree — but avoids the 3-channel-minor conv layout that profiled
+    ~2.4 ms/clip at ConvNeXt-L 769x1345 on v5e (1.41 ms conv_general +
+    0.95 ms input convert_element_type retile, round-4 trace): the patch
+    regroup is one reshape/transpose copy to a 48-wide minor and the MXU
+    sees a plain (N*Ho*Wo, k*k*C) @ (k*k*C, F) dot."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        k = 4
+        kernel = self.param(
+            "kernel", trunc_normal(std=0.02), (k, k, c, self.features),
+            jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ho, wo = -(-h // k), -(-w // k)
+        ph, pw = ho * k - h, wo * k - w  # SAME: stride == kernel
+        if ph or pw:
+            x = jnp.pad(
+                x,
+                ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2),
+                 (0, 0)))
+        x = x.reshape(n, ho, k, wo, k, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(n, ho, wo, k * k * c)
+        dt = self.dtype or x.dtype
+        y = jax.lax.dot_general(
+            x.astype(dt),
+            kernel.reshape(k * k * c, self.features).astype(dt),
+            (((3,), (0,)), ((), ())))
+        return y + bias.astype(y.dtype)
+
+
 def _fused_dwln_enabled():
     import os
 
@@ -271,11 +311,8 @@ class ConvNeXt(nn.Module):
         cur = int(sum(self.depths[:lo]))
         for i in range(lo, hi):
             if i == 0:
-                x = nn.Conv(
-                    self.dims[0], (4, 4), strides=(4, 4),
-                    kernel_init=trunc_normal(std=0.02),
-                    bias_init=nn.initializers.zeros, dtype=self.dtype,
-                    name="downsample0_conv",
+                x = _StemS2D(
+                    self.dims[0], dtype=self.dtype, name="downsample0_conv",
                 )(x)
                 x = LayerNorm(features=self.dims[0], epsilon=1e-6, name="downsample0_norm")(x)
             else:

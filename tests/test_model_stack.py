@@ -85,6 +85,26 @@ def test_convnext_features(rng):
     assert out["res5"].shape == (1, 2, 2, 128)
 
 
+def test_convnext_stem_s2d_matches_conv(rng):
+    """_StemS2D == nn.Conv(F, (4,4), strides=(4,4)) (SAME), incl. the
+    non-multiple-of-4 padding split (769x1345-style inputs)."""
+    from flax import linen as nn
+
+    from axial_vs_tpu.models.backbones.convnext import _StemS2D
+
+    for h, w in [(64, 64), (33, 47), (65, 96)]:
+        x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+        stem = _StemS2D(24)
+        vs = stem.init(jax.random.PRNGKey(1), x)
+        conv = nn.Conv(24, (4, 4), strides=(4, 4))
+        got = stem.apply(vs, x)
+        want = conv.apply(
+            {"params": {"kernel": vs["params"]["kernel"],
+                        "bias": vs["params"]["bias"]}}, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_pixel_decoder_and_transformer_decoder(rng):
     # tiny fake backbone features for a 64x64 input
     feats = {
