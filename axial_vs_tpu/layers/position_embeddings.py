@@ -33,16 +33,26 @@ def _sincos(coords, num_feats: int, temperature: float):
 
 def position_embedding_sine_2d(height: int, width: int, num_pos_feats: int = 128,
                                temperature: float = 10000.0):
-    """(H, W, 2*num_pos_feats) float32, computed on device."""
+    """(H, W, 2*num_pos_feats) float32, computed on device.
+
+    The embedding is separable: sin/cos run on the 1-D y/x coordinate
+    vectors (H+W elements instead of 2*H*W*num_pos_feats — the 2-D form
+    profiled 0.27 ms/clip of pure device sin/cos at VIPSeg scale) and the
+    (H, W) broadcast happens in the consumer's fusion. Float-identical:
+    same elementwise ops, just not replicated before evaluation."""
     scale = 2 * math.pi
     eps = 1e-6
     y = (jnp.arange(1, height + 1, dtype=jnp.float32) / (height + eps) * scale)
     x = (jnp.arange(1, width + 1, dtype=jnp.float32) / (width + eps) * scale)
-    yy = jnp.broadcast_to(y[:, None], (height, width))
-    xx = jnp.broadcast_to(x[None, :], (height, width))
-    pos_y = _sincos(yy, num_pos_feats, temperature)
-    pos_x = _sincos(xx, num_pos_feats, temperature)
-    return jnp.concatenate([pos_y, pos_x], axis=-1)
+    pos_y = _sincos(y, num_pos_feats, temperature)  # (H, F)
+    pos_x = _sincos(x, num_pos_feats, temperature)  # (W, F)
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(pos_y[:, None, :], (height, width, num_pos_feats)),
+            jnp.broadcast_to(pos_x[None, :, :], (height, width, num_pos_feats)),
+        ],
+        axis=-1,
+    )
 
 
 def position_embedding_sine_3d(num_frames: int, height: int, width: int,

@@ -148,18 +148,25 @@ class _StemS2D(nn.Module):
             "bias", nn.initializers.zeros, (self.features,), jnp.float32)
         ho, wo = -(-h // k), -(-w // k)
         ph, pw = ho * k - h, wo * k - w  # SAME: stride == kernel
+        dt = self.dtype or x.dtype
+        # every op below runs on (N, H, W*C)-flat layouts — a (..., 3)-minor
+        # tensor tiles 3 lanes into 128 (42x waste), which is where BOTH the
+        # conv path's 0.95 ms convert and a naive s2d transpose go to die;
+        # all reshapes here are row-major-free and the di row-slice fuses
+        # into the dot operand load
+        x = x.reshape(n, h, w * c)
         if ph or pw:
             x = jnp.pad(
                 x,
-                ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2),
-                 (0, 0)))
-        x = x.reshape(n, ho, k, wo, k, c).transpose(0, 1, 3, 2, 4, 5)
-        x = x.reshape(n, ho, wo, k * k * c)
-        dt = self.dtype or x.dtype
-        y = jax.lax.dot_general(
-            x.astype(dt),
-            kernel.reshape(k * k * c, self.features).astype(dt),
-            (((3,), (0,)), ((), ())))
+                ((0, 0), (ph // 2, ph - ph // 2),
+                 ((pw // 2) * c, (pw - pw // 2) * c)))
+        x = x.astype(dt).reshape(n, ho, k, wo, k * c)
+        kr = kernel.reshape(k, k * c, self.features).astype(dt)
+        y = sum(
+            jax.lax.dot_general(
+                x[:, :, di], kr[di], (((3,), (0,)), ((), ())))
+            for di in range(k)
+        )
         return y + bias.astype(y.dtype)
 
 

@@ -49,43 +49,47 @@ def ms_deform_attn(
     assert num_levels == len(spatial_shapes)
     assert s == sum(h * w for h, w in spatial_shapes)
 
-    level_start = np.concatenate(
-        [[0], np.cumsum([h * w for h, w in spatial_shapes])[:-1]]
+    import os
+
+    use_pallas = (
+        pallas_reduce
+        and jax.default_backend() == "tpu"
+        and (4 * d) % 128 == 0
+        and os.environ.get("AXIALVS_MSDA_NO_PALLAS") != "1"
     )
 
-    # ---- packed 2x2 corner table: (B*S*M, 4*D) ------------------------------
+    # ---- packed 2x2 corner tables, ONE PER LEVEL: (B*S_l*M, 4*D) ----------
     # row order (b, s, m) matches the value layout, so the pack is pure
     # compact reads/writes — NO head transpose (a transposed pack costs
     # ~10 ms/layer at VIPSeg scale because XLA fuses it into an 88MB
-    # strided copy)
-    packed_parts = []
+    # strided copy). Negative result (round 4): a Pallas pack kernel
+    # (ops/msda_pallas.pack_corner_table) can't beat this XLA fusion —
+    # the (m, k, d) lane interleave from (m, d)-keyed source rows is a
+    # relayout Mosaic refuses to lower ("result/input offset mismatch on
+    # non-concat dimension"), and spreading lanes via a one-hot MXU dot
+    # costs as much as the measured ~236 GB/s XLA roll-concat it would
+    # replace.
+    tables = []
     offset = 0
     for h, w in spatial_shapes:
         v_l = jax.lax.dynamic_slice_in_dim(value, offset, h * w, axis=1)
         offset += h * w
-        packed_parts.append(
-            jnp.concatenate(
-                [
-                    v_l,
-                    jnp.roll(v_l, -1, axis=1),        # (y0, x0+1)
-                    jnp.roll(v_l, -w, axis=1),        # (y0+1, x0)
-                    jnp.roll(v_l, -(w + 1), axis=1),  # (y0+1, x0+1)
-                ],
-                axis=-1,
-            )
+        flat_l = jnp.concatenate(
+            [
+                v_l,
+                jnp.roll(v_l, -1, axis=1),        # (y0, x0+1)
+                jnp.roll(v_l, -w, axis=1),        # (y0+1, x0)
+                jnp.roll(v_l, -(w + 1), axis=1),  # (y0+1, x0+1)
+            ],
+            axis=-1,
         )
-    flat = jnp.concatenate(packed_parts, axis=1).reshape(b * s * m, 4 * d)
+        tables.append(flat_l.reshape(b * h * w * m, 4 * d))
 
     # head-major up front: large intermediates already in gather/reduce order
     loc_m = sampling_locations.transpose(0, 2, 1, 3, 4, 5).astype(jnp.float32)
     aw_m = attention_weights.transpose(0, 2, 1, 3, 4).astype(jnp.float32)
-    # row id = (b*S + s)*M + m
-    bm_base = (
-        jnp.arange(b, dtype=jnp.int32)[:, None] * (s * m)
-        + jnp.arange(m, dtype=jnp.int32)[None, :]
-    )
 
-    idx_parts = []   # per level: (B, M, Lq, P) packed-row indices
+    idx_parts = []   # per level: (B, M, Lq, P) packed-row indices (per-table)
     wgt_parts = []   # per level: (B, M, Lq, P, 4) per-slot weights
     for lvl, (h, w) in enumerate(spatial_shapes):
         loc = loc_m[:, :, :, lvl]
@@ -116,13 +120,14 @@ def ms_deform_attn(
 
         xi = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
-        idx_parts.append(
-            (int(level_start[lvl]) + yi * w + xi) * m + bm_base[:, :, None, None]
+        # per-level row id into tables[lvl]: (b*S_l + s)*M + m
+        bm_base = (
+            jnp.arange(b, dtype=jnp.int32)[:, None] * (h * w * m)
+            + jnp.arange(m, dtype=jnp.int32)[None, :]
         )
-
-    # concatenate levels along the sample axis (a stack + reshape retiles the
-    # slot axis: ~8 ms/layer of pure copy at VIPSeg scale)
-    idx = jnp.concatenate(idx_parts, axis=3)  # (B, M, Lq, L*P)
+        idx_parts.append(
+            (yi * w + xi) * m + bm_base[:, :, None, None]
+        )
     # SLOT-MAJOR lane-packed weights (B, M, Lq, 4*L*P), column k*LP + si:
     # a concat along the MINOR axis fuses into the elementwise producers,
     # where the old stack(..., -1).reshape retiled a 4-lane layout into 48
@@ -134,15 +139,11 @@ def ms_deform_attn(
 
     n_samples = num_levels * p
     rows = b * m * lq
+    # per-sample gather rows, sample si = lvl*P + pi reading tables[lvl]
+    idx_s = [idx_parts[si // p].reshape(rows, p)[:, si % p]
+             for si in range(n_samples)]
 
-    import os
-
-    if (
-        pallas_reduce
-        and jax.default_backend() == "tpu"
-        and (4 * d) % 128 == 0
-        and os.environ.get("AXIALVS_MSDA_NO_PALLAS") != "1"
-    ):
+    if use_pallas:
         # inference fast path (v4, tools/bench_msda.py: 10.8 vs 14.4
         # ms/layer at VIPSeg scale): the 12 row gathers materialize as
         # kCustom fusions either way; ONE Pallas kernel then reads each
@@ -152,8 +153,7 @@ def ms_deform_attn(
         # registered): callers pass pallas_reduce=not train.
         from .msda_pallas import weighted_corner_reduce_v4
 
-        idx_s = idx.reshape(rows, n_samples)
-        gs = [flat.at[idx_s[:, si]].get(mode="promise_in_bounds")
+        gs = [tables[si // p].at[idx_s[si]].get(mode="promise_in_bounds")
               for si in range(n_samples)]
         out = weighted_corner_reduce_v4(
             gs, wgt48.reshape(rows, 4 * n_samples), slot_major=True)
@@ -168,11 +168,10 @@ def ms_deform_attn(
         # (rows, S, 4D) intermediate (~1 GB at VIPSeg scale) never reaches
         # HBM. Measured v5e: 14.5 ms/layer vs 24 ms for gather-then-reduce
         # (see tools/bench_msda.py; chunked middle grounds are slower).
-        idx_s = idx.reshape(rows, n_samples)
         wgt_s = wgt48.reshape(rows, 4 * n_samples)
         acc = jnp.zeros((rows, 4 * d), value.dtype)
         for si in range(n_samples):
-            g = flat.at[idx_s[:, si]].get(mode="promise_in_bounds")
+            g = tables[si // p].at[idx_s[si]].get(mode="promise_in_bounds")
             # slot-major columns: sample si's 4 slot weights at si::ns
             w128 = jnp.repeat(wgt_s[:, si::n_samples], d, axis=-1)
             acc = acc + g * w128

@@ -142,6 +142,81 @@ def weighted_corner_reduce_v4(gs, w, block_rows: int = _V4_BLOCK,
     )(e, w.astype(jnp.bfloat16), *gs)
 
 
+def _pack_kernel(a_ref, b_ref, out_ref, *, w: int, md: int, d: int):
+    """Corner-table pack for one (batch row, s-tile): out rows s hold the
+    2x2 neighborhood [v[s], v[s+1], v[s+w], v[s+w+1]] per head, lane order
+    (m, k, d). a/b are tile-aligned windows at block rows i and i+1 so the
+    shifted reads below stay static slices."""
+    tile = out_ref.shape[1]
+    col = jnp.concatenate([a_ref[0], b_ref[0]], axis=0)  # (2*tile, M*D)
+    parts = []
+    for m in range(md // d):
+        for off in (0, 1, w, w + 1):
+            parts.append(col[off:off + tile, m * d:(m + 1) * d])
+    out_ref[0] = jnp.concatenate(parts, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "n_heads", "block_rows", "interpret"))
+def pack_corner_table(v, width: int, n_heads: int = 8,
+                      block_rows: int = 512, interpret: bool = False):
+    """v (B, S, M*D) bf16 (one level, S = H*W row-major) -> packed corner
+    table (B, S, M*4D) with out[b, s, m*4D + k*D + d] = v[b, s + off_k,
+    m*D + d], off = (0, 1, W, W+1). Out-of-range rows carry ZEROS (the
+    jnp.roll build wraps instead — both are fine: the consumer
+    zero-weights every out-of-neighborhood lane, and zeros can never
+    leak a NaN through 0*x).
+
+    NEGATIVE RESULT (round 4, kept as the record): Mosaic refuses to
+    lower the (m, k, d) lane interleave from (m, d)-keyed source rows
+    ("result/input offset mismatch on non-concat dimension"), and the
+    one-hot MXU lane-spread workaround costs as much as the ~236 GB/s
+    XLA roll-concat fusion this was meant to replace. ops/msda.py keeps
+    the XLA build; this compiles only in interpret mode (contract test
+    in tests/test_msda.py)."""
+    b, s, md = v.shape
+    d = md // n_heads
+    assert width + 1 <= block_rows, (width, block_rows)
+    nblk = pl.cdiv(s, block_rows)
+    pad = nblk * block_rows - s
+    if pad:
+        # zero-pad to whole blocks: Pallas edge-block reads beyond the
+        # array are undefined (possibly non-finite bit patterns)
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    grid = (b, nblk)
+    out = pl.pallas_call(
+        functools.partial(_pack_kernel, w=width, md=md, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_rows, md), lambda bi, si: (bi, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, block_rows, md),
+                lambda bi, si: (bi, jnp.minimum(si + 1, nblk - 1), 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, 4 * md),
+                               lambda bi, si: (bi, si, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nblk * block_rows, 4 * md),
+                                       v.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(v, v)
+    return out[:, :s]
+
+
+def pack_corner_table_ref(v, width: int, n_heads: int = 8):
+    """jnp oracle: the roll-based build from ops/msda.py, one level."""
+    b, s, md = v.shape
+    d = md // n_heads
+    v4 = v.reshape(b, s, n_heads, d)
+    rolled = [jnp.roll(v4, -o, axis=1) for o in (0, 1, width, width + 1)]
+    return jnp.concatenate(rolled, axis=-1).reshape(b, s, 4 * md)
+
+
 def weighted_corner_reduce_ref(g, w):
     """Pure-jnp reference for tests. w (R, S*4)."""
     r, s, d4 = g.shape

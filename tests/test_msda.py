@@ -155,3 +155,28 @@ def test_weighted_corner_reduce_ref_contract(rng):
         np.asarray(w).reshape(r, s, 4),
     )
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5)
+
+
+def test_pack_corner_table_matches_roll_build(rng):
+    """Interpret-mode Pallas pack == the jnp.roll table build on every
+    non-wrapped lane (wrapped lanes are zero-weighted by the consumer and
+    intentionally differ: roll wraps, the kernel zero-pads/clamps), and is
+    finite everywhere."""
+    from axial_vs_tpu.ops.msda_pallas import (pack_corner_table,
+                                              pack_corner_table_ref)
+
+    b, h, w, n_heads, d = 2, 9, 7, 2, 8
+    s, md = h * w, n_heads * d
+    v = jnp.asarray(rng.randn(b, s, md).astype(np.float32))
+    got = np.asarray(pack_corner_table(
+        v, width=w, n_heads=n_heads, block_rows=16, interpret=True))
+    want = np.asarray(pack_corner_table_ref(v, width=w, n_heads=n_heads))
+    assert np.isfinite(got).all()
+    offs = (0, 1, w, w + 1)
+    for m in range(n_heads):
+        for k, off in enumerate(offs):
+            lanes = slice((m * 4 + k) * d, (m * 4 + k + 1) * d)
+            valid = s - off  # rows whose roll did NOT wrap
+            np.testing.assert_allclose(
+                got[:, :valid, lanes], want[:, :valid, lanes], rtol=1e-6,
+                err_msg=f"m={m} k={k}")
