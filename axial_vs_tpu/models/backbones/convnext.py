@@ -154,13 +154,13 @@ class _StemS2D(nn.Module):
         # conv path's 0.95 ms convert and a naive s2d transpose go to die;
         # all reshapes here are row-major-free and the di row-slice fuses
         # into the dot operand load
-        x = x.reshape(n, h, w * c)
+        x = x.reshape(n, h, w * c).astype(dt)  # cast BEFORE the pad copy
         if ph or pw:
             x = jnp.pad(
                 x,
                 ((0, 0), (ph // 2, ph - ph // 2),
                  ((pw // 2) * c, (pw - pw // 2) * c)))
-        x = x.astype(dt).reshape(n, ho, k, wo, k * c)
+        x = x.reshape(n, ho, k, wo, k * c)
         kr = kernel.reshape(k, k * c, self.features).astype(dt)
         y = sum(
             jax.lax.dot_general(

@@ -215,8 +215,15 @@ def _block_kernel(xm1_ref, x0_ref, xp1_ref, xres_ref,
     th = tile_h
 
     def mlp_phase():
-        t = dbuf[(i - 1) % 2]                      # (th*W, C) bf16
+        # dbuf rows are W-padded to wp (8-aligned): Mosaic cannot shape-cast
+        # (th, W, C) <-> (th*W, C) vectors when W isn't sublane-aligned
+        # ("infer-vector-layout: unsupported shape cast"), so the 2-D MXU
+        # view is kept in the SCRATCH layout and rows move via aligned
+        # slices; the wp-W garbage rows ride through the dots unread
+        t = dbuf[(i - 1) % 2]                      # (th*wp, C) bf16
         rows, c = t.shape
+        wp = rows // th
+        w = out_ref.shape[2]
         hidden = w1_ref.shape[-1]
         acc = jnp.broadcast_to(b2_ref[0].astype(jnp.float32), (rows, c))
         for h0 in range(0, hidden, hidden_chunk):
@@ -227,9 +234,11 @@ def _block_kernel(xm1_ref, x0_ref, xp1_ref, xres_ref,
                 0.7978845608028654 * (hh + 0.044715 * hh * hh * hh)))
             acc = acc + jnp.dot(hh.astype(t.dtype), w2_ref[h0:h1, :],
                                 preferred_element_type=jnp.float32)
-        res = xres_ref[0].reshape(rows, c).astype(jnp.float32)
-        out_ref[0] = (res + g_ref[0] * acc).reshape(
-            out_ref.shape[1:]).astype(out_ref.dtype)
+        for r in range(th):
+            res_r = xres_ref[0, r].astype(jnp.float32)       # (W, C)
+            out_ref[0, r] = (
+                res_r + g_ref[0] * acc[r * wp:r * wp + w]
+            ).astype(out_ref.dtype)
 
     def dw_phase():
         top = xm1_ref[0, th - 3:th]
@@ -256,7 +265,9 @@ def _block_kernel(xm1_ref, x0_ref, xp1_ref, xres_ref,
         var = jnp.mean(jnp.square(acc - mean), axis=-1, keepdims=True)
         y = (acc - mean) * jax.lax.rsqrt(var + eps)
         y = y * ls_ref[0] + lb_ref[0]
-        dbuf[i % 2] = y.reshape(th * w, col.shape[2]).astype(dbuf.dtype)
+        wp = dbuf.shape[1] // th
+        for r in range(th):
+            dbuf[i % 2, r * wp:r * wp + w] = y[r].astype(dbuf.dtype)
 
     if mlp_first:
         @pl.when(i > 0)
@@ -317,7 +328,9 @@ def convnext_block_fused(x, kernel, cbias, ln_scale, ln_bias,
             lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
-        scratch_shapes=[pltpu.VMEM((2, tile_h * w, c), x.dtype)],
+        # rows W-padded to a sublane-aligned stride (see _block_kernel)
+        scratch_shapes=[pltpu.VMEM((2, tile_h * (-(-w // 8) * 8), c),
+                                   x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
