@@ -128,10 +128,15 @@ def main():
         "peak_rss_gb": round(peak_rss_gb, 2),
         "vpq": round(float(results.get("vpq", -1)), 4),
     }))
-    # linearity check: last video must not be dramatically slower than the
-    # second (first pays compile) — catches O(videos^2) accumulator bugs
-    if len(per_video) >= 3 and per_video[1] > 0:
-        ratio = per_video[-1] / per_video[1]
+    # linearity check: the last videos must not be dramatically slower than
+    # the first post-compile ones — catches O(videos^2) accumulator bugs.
+    # Medians of pairs, not single videos: on the tunneled TPU a single
+    # video can be 2x+ slower from transport congestion alone (observed
+    # 24->62 s on one run that was flat, 24..26 s, on the re-run)
+    if len(per_video) >= 5 and per_video[1] > 0:
+        head = float(np.median(per_video[1:3]))
+        tail = float(np.median(per_video[-2:]))
+        ratio = tail / head
         assert ratio < 2.0, f"per-video time grew {ratio:.1f}x across the run"
 
 
