@@ -139,9 +139,6 @@ def ms_deform_attn(
 
     n_samples = num_levels * p
     rows = b * m * lq
-    # per-sample gather rows, sample si = lvl*P + pi reading tables[lvl]
-    idx_s = [idx_parts[si // p].reshape(rows, p)[:, si % p]
-             for si in range(n_samples)]
 
     if use_pallas:
         # inference fast path (v4, tools/bench_msda.py: 10.8 vs 14.4
@@ -151,10 +148,20 @@ def ms_deform_attn(
         # MXU expansion — the XLA path instead spends ~2 extra passes on
         # per-sample weight-broadcast fusions. Not differentiable (no VJP
         # registered): callers pass pallas_reduce=not train.
+        # Negative result (round 4): merging the P gathers per level into
+        # ONE gather of (rows*P,) and reshaping to (rows, P*4D) for a v5
+        # reduce measured 23.8 vs 28.3 fps end-to-end — the
+        # sublane->lane reshape does NOT fuse into the gather and
+        # materializes a second 1 GB copy of the gathered rows
+        # (weighted_corner_reduce_v5 kept for the record).
         from .msda_pallas import weighted_corner_reduce_v4
 
-        gs = [tables[si // p].at[idx_s[si]].get(mode="promise_in_bounds")
-              for si in range(n_samples)]
+        gs = [
+            tables[si // p]
+            .at[idx_parts[si // p].reshape(rows, p)[:, si % p]]
+            .get(mode="promise_in_bounds")
+            for si in range(n_samples)
+        ]
         out = weighted_corner_reduce_v4(
             gs, wgt48.reshape(rows, 4 * n_samples), slot_major=True)
         out = out.reshape(b, m, lq, d)
@@ -171,7 +178,8 @@ def ms_deform_attn(
         wgt_s = wgt48.reshape(rows, 4 * n_samples)
         acc = jnp.zeros((rows, 4 * d), value.dtype)
         for si in range(n_samples):
-            g = tables[si // p].at[idx_s[si]].get(mode="promise_in_bounds")
+            idx_si = idx_parts[si // p].reshape(rows, p)[:, si % p]
+            g = tables[si // p].at[idx_si].get(mode="promise_in_bounds")
             # slot-major columns: sample si's 4 slot weights at si::ns
             w128 = jnp.repeat(wgt_s[:, si::n_samples], d, axis=-1)
             acc = acc + g * w128

@@ -142,6 +142,56 @@ def weighted_corner_reduce_v4(gs, w, block_rows: int = _V4_BLOCK,
     )(e, w.astype(jnp.bfloat16), *gs)
 
 
+def _v5_kernel(e_ref, w_ref, *refs, d: int, n: int, p: int):
+    """v4 with per-LEVEL merged gathers: each g holds P samples side by
+    side in lanes ((R, P*4D), sample pi at lanes [pi*4D, (pi+1)*4D)) so
+    the XLA gather count drops from N=L*P to L — the lane split happens
+    here on VMEM-resident data instead of as separate kCustom fusions."""
+    g_refs, out_ref = refs[:n // p], refs[n // p]
+    wall = jax.lax.dot_general(
+        w_ref[...], e_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLK, n*4d)
+    acc = jnp.zeros((out_ref.shape[0], 4 * d), jnp.float32)
+    for lvl in range(n // p):
+        g = g_refs[lvl][...].astype(jnp.float32)
+        for pi in range(p):
+            si = lvl * p + pi
+            acc = acc + g[:, pi * 4 * d:(pi + 1) * 4 * d] * wall[
+                :, si * 4 * d:(si + 1) * 4 * d]
+    out_ref[...] = (
+        acc[:, 0 * d:1 * d] + acc[:, 1 * d:2 * d]
+        + acc[:, 2 * d:3 * d] + acc[:, 3 * d:4 * d]
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("p", "block_rows", "slot_major"))
+def weighted_corner_reduce_v5(gs, w, p: int, block_rows: int = _V4_BLOCK,
+                              slot_major: bool = False):
+    """gs: list of L (R, P*4D) merged gathered rows (per-level, P samples
+    in lanes); w (R, L*P*4) lane-packed slot weights -> (R, D)."""
+    nl = len(gs)
+    n = nl * p
+    r, pd4 = gs[0].shape
+    d = pd4 // (4 * p)
+    e = _v4_expand_matrix(n, d, slot_major=slot_major)
+    grid = (pl.cdiv(r, block_rows),)
+    return pl.pallas_call(
+        functools.partial(_v5_kernel, d=d, n=n, p=p),
+        out_shape=jax.ShapeDtypeStruct((r, d), gs[0].dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n * 4, n * 4 * d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((block_rows, n * 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((block_rows, pd4), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM) for _ in range(nl)],
+        out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(e, w.astype(jnp.bfloat16), *gs)
+
+
 def _pack_kernel(a_ref, b_ref, out_ref, *, w: int, md: int, d: int):
     """Corner-table pack for one (batch row, s-tile): out rows s hold the
     2x2 neighborhood [v[s], v[s+1], v[s+w], v[s+w+1]] per head, lane order
