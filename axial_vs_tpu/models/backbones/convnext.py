@@ -130,9 +130,22 @@ class _StemS2D(nn.Module):
     default SAME padding, and declares the identical {kernel, bias} param
     tree — but avoids the 3-channel-minor conv layout that profiled
     ~2.4 ms/clip at ConvNeXt-L 769x1345 on v5e (1.41 ms conv_general +
-    0.95 ms input convert_element_type retile, round-4 trace): the patch
-    regroup is one reshape/transpose copy to a 48-wide minor and the MXU
-    sees a plain (N*Ho*Wo, k*k*C) @ (k*k*C, F) dot."""
+    0.95 ms input convert_element_type retile, round-4 trace).
+
+    Measured round-4 ledger for this op (ConvNeXt-L 769x1345):
+    1. nn.Conv on (N, H, W, 3): 2.36 ms — every op touching a <128-lane
+       minor tensor pays the (8,128) tiling tax (~10-40x physical bytes).
+    2. s2d via 6-D transpose (pad -> (N,Ho,4,Wo,4,3) -> transpose -> dot):
+       fps-NEUTRAL — the transpose inherits the same 3-minor tiling.
+    3. THIS version: pad/cast on the (N, H, W*C)-flat layout (free
+       row-major reshapes, no sub-128 minor until the last moment), then
+       k dots over (N, Ho, Wo, k*C) slices whose di row-slice fuses into
+       the operand load: ~1.1 ms (0.62 ms pad/regroup copy + 0.48 ms
+       dots).
+    4. Going further is blocked: the (…, 12)-minor dot operands still pad
+       12 -> 128 lanes when materialized; a Pallas stem needs the same
+       lane -> sublane regroup Mosaic refuses; ideal (pure-bandwidth)
+       would be ~0.1 ms."""
 
     features: int
     dtype: Any = None
