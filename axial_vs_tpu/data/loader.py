@@ -83,9 +83,16 @@ class ClipDataLoader:
     def __init__(self, dataset: Sequence, mapper: Callable, batch_size: int,
                  num_workers: int = 4, prefetch: int = 2, seed: int = 0,
                  use_processes: bool = True):
+        """``num_workers=0`` runs the mapper synchronously in the consumer
+        (one RNG, fully deterministic batch order — validation harnesses
+        need this: with >=2 workers the batch ARRIVAL order is
+        timing-dependent even when each worker is seeded, advisor/judge
+        r4). ``num_workers>=1`` uses background processes (default) or
+        threads."""
         self.dataset = dataset
         self.mapper = mapper
         self.batch_size = batch_size
+        self.synchronous = num_workers == 0
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
@@ -135,7 +142,21 @@ class ClipDataLoader:
         """Bounded get with a liveness watchdog: if every worker died
         (e.g. a mapper exception), raise instead of blocking forever."""
         if not self.use_processes:
-            return self._queue.get()
+            deadline = timeout
+            while True:
+                try:
+                    return self._queue.get(timeout=min(5.0, deadline))
+                except queue.Empty:
+                    deadline -= 5.0
+                    if all(not t.is_alive() for t in self._threads):
+                        raise RuntimeError(
+                            "all ClipDataLoader worker threads exited "
+                            "(mapper exception?)")
+                    if deadline <= 0:
+                        raise TimeoutError(
+                            f"no batch produced within {timeout:.0f}s "
+                            f"({sum(t.is_alive() for t in self._threads)}"
+                            " live worker threads)")
         deadline = timeout
         while True:
             try:
@@ -152,6 +173,12 @@ class ClipDataLoader:
                         f"({sum(p.is_alive() for p in self._procs)} live workers)")
 
     def __iter__(self) -> Iterator:
+        if self.synchronous:
+            rng = np.random.RandomState(self.seed * 1000)
+            while not self._stop.is_set():
+                yield _make_batch(self.dataset, self.mapper,
+                                  self.batch_size, rng)
+            return
         if not self._threads and not self._procs:
             self._start()
         while True:

@@ -44,8 +44,22 @@ class CheckpointManager:
         return self._preempted
 
     def save(self, step: int, state, force: bool = False):
-        if int(step) in (self._mgr.all_steps() or ()):  # re-run over an old
-            return  # output_dir: keep the existing checkpoint (d2 behavior)
+        if int(step) in (self._mgr.all_steps() or ()):
+            if not force:
+                # re-run over an old output_dir: keep the existing
+                # checkpoint, but say so — silently dropping new state at
+                # an overlapping step would make a later resume restore
+                # stale weights (advisor r4)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "checkpoint for step %d already exists in %s; "
+                    "skipping save (pass force=True to overwrite)",
+                    int(step), self.directory)
+                return
+            # force=True (e.g. preemption save) must win: replace the
+            # existing step
+            self._mgr.delete(int(step))
         self._mgr.save(
             int(step), args=ocp.args.StandardSave(state), force=force
         )

@@ -213,10 +213,14 @@ def pack_corner_table(v, width: int, n_heads: int = 8,
                       block_rows: int = 512, interpret: bool = False):
     """v (B, S, M*D) bf16 (one level, S = H*W row-major) -> packed corner
     table (B, S, M*4D) with out[b, s, m*4D + k*D + d] = v[b, s + off_k,
-    m*D + d], off = (0, 1, W, W+1). Out-of-range rows carry ZEROS (the
-    jnp.roll build wraps instead — both are fine: the consumer
-    zero-weights every out-of-neighborhood lane, and zeros can never
-    leak a NaN through 0*x).
+    m*D + d], off = (0, 1, W, W+1). Out-of-range lanes hold junk-but-
+    finite data, NOT necessarily zeros: interior blocks read the
+    zero-padded tail, but the LAST grid block's shifted window is clamped
+    (si+1 -> nblk-1), so when pad < offset its reads wrap back into the
+    same block's start (duplicated rows, like the jnp.roll build's wrap).
+    Both are fine for the consumer, which zero-weights every
+    out-of-neighborhood lane (finite junk can never leak a NaN through
+    0*x) — but do not rely on zeros (advisor r4).
 
     NEGATIVE RESULT (round 4, kept as the record): Mosaic refuses to
     lower the (m, k, d) lane interleave from (m, d)-keyed source rows

@@ -36,7 +36,7 @@ def synthesize_vipseg_videos(root: str, n_videos: int = 4, n_frames: int = 6,
                 pan = np.full((h, w), 2, np.int32)
                 x0 = (40 + 25 * f + 60 * v) % (w - 220)
                 y0 = (60 + 12 * f) % (h - 260)
-                img[y0:y0 + 240, x0:x0 + 200] = [200, 60 + 10 * f % 19, 40]
+                img[y0:y0 + 240, x0:x0 + 200] = [200, 60 + (10 * f) % 19, 40]
                 pan[y0:y0 + 240, x0:x0 + 200] = 1
                 img[50:170, w - 260:w - 60] = [30, 200, 180]
                 pan[50:170, w - 260:w - 60] = 4
