@@ -289,24 +289,49 @@ def main():
         float(carry)
         elapsed = time.perf_counter() - start
     else:
+        # --pipeline N: N INDEPENDENT carry chains in the loop body. The
+        # single-chain meter serializes clip k+1 on clip k's checksum — a
+        # full pipeline drain per clip that a production evaluator does
+        # not have (consecutive clips of a video are independent in the
+        # forward; stitching consumes outputs post-hoc, and JAX dispatch
+        # is async). N=2 lets XLA overlap one clip's gather-bound phases
+        # with the other's MXU phases. Each chain gets its OWN input
+        # array so no subgraph can CSE. fps divides by N chains.
+        pipeline = (int(argv[argv.index("--pipeline") + 1])
+                    if "--pipeline" in argv else 1)
+        inputs = [images] + [
+            jnp.asarray(
+                np.random.RandomState(17 + j)
+                .randn(*images.shape).astype(np.float32))
+            for j in range(pipeline - 1)
+        ]
 
         @jax.jit
-        def bench_loop(vs, images, n):
-            def body(i, carry):
-                out = module.apply(vs, images + carry * 1e-12, train=False)
-                return checksum((out["pred_logits"], out["pred_masks"],
-                                 out["pred_mask_embeddings"]))
+        def bench_loop(vs, inputs, n):
+            def body(i, carries):
+                outs = []
+                for img, c in zip(inputs, carries):
+                    o = module.apply(vs, img + c * 1e-12, train=False)
+                    outs.append(checksum((o["pred_logits"], o["pred_masks"],
+                                          o["pred_mask_embeddings"])))
+                return tuple(outs)
 
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+            return jax.lax.fori_loop(
+                0, n, body, tuple(jnp.float32(0) for _ in inputs))
 
-        float(bench_loop(variables, images, 1))  # compile the loop program
+        jax.block_until_ready(  # compile the loop program
+            [float(c) for c in bench_loop(variables, inputs, 1)])
         start = time.perf_counter()
-        float(bench_loop(variables, images, iters))
+        [float(c) for c in bench_loop(variables, inputs, iters)]
         elapsed = time.perf_counter() - start
+        batch_clips *= pipeline
 
     fps = batch_clips * clip_frames * iters / elapsed
     ref_fps, anchor_info = reference_anchor_fps(backbone)
-    batch_tag = f", B={batch_clips} clips" if batch_clips > 1 else ""
+    if "--pipeline" in argv and pipeline > 1:
+        batch_tag = f", {pipeline}-deep clip pipeline"
+    else:
+        batch_tag = f", B={batch_clips} clips" if batch_clips > 1 else ""
     print(
         json.dumps(
             {

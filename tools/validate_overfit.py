@@ -44,6 +44,127 @@ if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
+def _dissect(cfg, eval_module, variables, videos, meta):
+    """Trace video 0 through the REAL video-wise inference path, printing
+    every stage's state so a things-PQ failure can be localized."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from axial_vs_tpu.models.video_inference import (
+        WCInferencePipeline, preprocess_frames, match_from_embds)
+    from axial_vs_tpu.models.postprocess import panoptic_inference
+
+    num_classes = len(meta.contiguous_to_dataset_id)
+    thing_mask = np.zeros((num_classes,), bool)
+    for _, ci in meta.thing_dataset_id_to_contiguous_id.items():
+        thing_mask[ci] = True
+    pipe = WCInferencePipeline(
+        eval_module, variables,
+        num_clip_frames=cfg.input.num_clip_frames,
+        input_size=cfg.input.image_size,
+        pixel_mean=cfg.input.pixel_mean, pixel_std=cfg.input.pixel_std,
+        thing_class_mask=thing_mask,
+        contiguous_to_dataset_id=np.asarray(meta.contiguous_to_dataset_id),
+        label_divisor=meta.label_divisor,
+        pixel_confidence_threshold=cfg.model.maxtron.test.pixel_confidence_threshold,
+        class_threshold_thing=cfg.model.maxtron.test.class_threshold_thing,
+        class_threshold_stuff=cfg.model.maxtron.test.class_threshold_stuff,
+        overlap_threshold=cfg.model.maxtron.test.overlap_threshold,
+        reorder_class_weight=cfg.model.maxtron.test.reorder_class_weight,
+        reorder_mask_weight=cfg.model.maxtron.test.reorder_mask_weight,
+    )
+    frames = np.stack([
+        np.asarray(Image.open(f["file_name"]).convert("RGB"))
+        for f in videos[0]["frames"]])
+    v, t = frames.shape[0], cfg.input.num_clip_frames
+    images, sh, sw, _ = preprocess_frames(
+        frames, cfg.input.pixel_mean, cfg.input.pixel_std,
+        cfg.input.image_size)
+    import math
+    num_clips = math.ceil(v / t)
+    logits_list, masks_list, embds_list = [], [], []
+    for ci in range(num_clips):
+        idx = [min(ci * t + k, v - 1) for k in range(t)]
+        lo, ma, em = pipe._clip_forward(jax.device_put(images[idx]))
+        logits_list.append(np.asarray(lo, np.float32))
+        masks_list.append(np.asarray(ma, np.float32))
+        embds_list.append(np.asarray(em, np.float32))
+
+    def slot_report(tag, logits, masks):
+        prob = np.asarray(jax.nn.softmax(logits, -1))
+        pm = np.asarray(jax.nn.softmax(masks, -1))
+        owner = pm.reshape(-1, pm.shape[-1]).argmax(-1)
+        areas = np.bincount(owner, minlength=prob.shape[0])
+        top = np.argsort(-areas)[:4]
+        print(f"  {tag}: " + "  ".join(
+            f"slot{si} area={areas[si]} cls={prob[si].argmax()} "
+            f"p=({prob[si][0]:.3f},{prob[si][1]:.3f},{prob[si][-1]:.3f})"
+            for si in top), flush=True)
+
+    print("== dissect: per-clip slot stats (cls p=(thing,stuff,void)) ==",
+          flush=True)
+    for ci in range(num_clips):
+        slot_report(f"clip{ci}", logits_list[ci], masks_list[ci])
+
+    perms = [np.arange(embds_list[0].shape[0])]
+    matched = [embds_list[0]]
+    for i in range(1, num_clips):
+        perm = match_from_embds(matched[-1], embds_list[i])
+        perms.append(perm)
+        matched.append(embds_list[i][perm])
+    print("== alignment perms (clip i slots -> canonical) ==", flush=True)
+    for i, p in enumerate(perms):
+        moved = {a: b for a, b in enumerate(p) if a != b}
+        print(f"  clip{i}: moved={moved or 'identity'}", flush=True)
+
+    avg_logits = sum(l[p] for l, p in zip(logits_list, perms)) / num_clips
+    stitched = np.concatenate(
+        [m[..., p] for m, p in zip(masks_list, perms)], axis=0)
+    print("== post-average slot stats ==", flush=True)
+    slot_report("avg", avg_logits, stitched)
+
+    result = jax.tree.map(
+        np.asarray,
+        panoptic_inference(
+            jnp.asarray(avg_logits), jnp.asarray(stitched),
+            jnp.asarray(thing_mask),
+            pixel_confidence_threshold=cfg.model.maxtron.test.pixel_confidence_threshold,
+            class_threshold_thing=cfg.model.maxtron.test.class_threshold_thing,
+            class_threshold_stuff=cfg.model.maxtron.test.class_threshold_stuff,
+            overlap_threshold=cfg.model.maxtron.test.overlap_threshold,
+            reorder_class_weight=cfg.model.maxtron.test.reorder_class_weight,
+            reorder_mask_weight=cfg.model.maxtron.test.reorder_mask_weight,
+        ))
+    print("== panoptic segments (visit order) ==", flush=True)
+    for i in range(len(result.segment_valid)):
+        if not bool(result.accepted[i]) and not bool(result.segment_valid[i]):
+            continue
+        print(f"  slot={int(result.slot_index[i])} valid="
+              f"{bool(result.segment_valid[i])} id={int(result.segment_id[i])}"
+              f" cat={int(result.segment_category[i])}"
+              f" isthing={bool(result.segment_isthing[i])}", flush=True)
+    # GT vs predicted id map agreement per frame (thing tube IoU)
+    ids, _, _ = pipe.run_video(frames)
+    from axial_vs_tpu.data.panoptic_utils import rgb2id
+    for fi in (0, v // 2, v - 1):
+        pan = rgb2id(np.asarray(
+            Image.open(videos[0]["frames"][fi]["pan_seg_file_name"]).convert("RGB")))
+        pred = ids[fi]
+        for gt_id, nm in ((1, "thing1(moving)"), (4, "thing2(static)"),
+                          (2, "stuff")):
+            m = pan == gt_id
+            if not m.any():
+                continue
+            vals, cnts = np.unique(pred[m], return_counts=True)
+            best = vals[np.argmax(cnts)]
+            iou = (np.logical_and(pred == best, m).sum()
+                   / np.logical_or(pred == best, m).sum())
+            print(f"  frame{fi} {nm}: best_pred_id={int(best)} "
+                  f"iou={iou:.3f} cover={cnts.max() / m.sum():.3f}",
+                  flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=800)
@@ -72,6 +193,11 @@ def main():
                     help="loss_ce weight (reference default 3.0). "
                          "Harness knob for diagnosing threshold-margin "
                          "failures; loss FORMULAS stay reference-exact.")
+    ap.add_argument("--dissect", action="store_true",
+                    help="after the last step, dissect the video-wise "
+                         "inference path on video 0: per-clip slot stats, "
+                         "embedding-alignment permutations, post-average "
+                         "class probs, and the accepted/rejected segments")
     ap.add_argument("--out", default="/tmp/axialvs_overfit")
     args = ap.parse_args()
 
@@ -192,10 +318,24 @@ def main():
             probe_batch["images"], train=False)
         prob = jax.nn.softmax(out["pred_logits"], -1)  # (B, N, C+1)
         pm = jax.nn.softmax(out["pred_masks"], -1)     # (..., N) over slots
+        b = prob.shape[0]
+        n = prob.shape[1]
+        # per-slot joint stats on sample 0: which slots OWN pixels (argmax
+        # over slots), and what class/conf they carry — a slot can own the
+        # thing's pixels while its class prob sits under the 0.7 inference
+        # threshold (then panoptic inference drops the segment even though
+        # some OTHER slot has thing prob 1.0)
+        owner = jnp.argmax(pm.reshape(b, -1, n), axis=-1)          # (B, S)
+        area = (owner[0, :, None] == jnp.arange(n)[None]).sum(0)   # (N,)
+        top = jnp.argsort(-area)[:4]
         return {
             "max_thing_prob": prob[..., 0].max(),
             "max_stuff_prob": prob[..., 1].max(),
             "mask_conf_p99": jnp.percentile(pm.max(axis=-1), 99.0),
+            "top_slots": top,
+            "top_areas": area[top],
+            "top_cls": jnp.argmax(out["pred_logits"][0], -1)[top],
+            "top_cls_prob": prob[0].max(-1)[top],
         }
 
     def bn_delta(prev, cur):
@@ -223,8 +363,10 @@ def main():
                 {"params": state.params, "batch_stats": state.batch_stats})
             vpq = float(res["vpq"])
             pw = res.get("per_window") or {}
-            p = jax.tree.map(lambda v: round(float(v), 4),
-                             probe(state.params, state.batch_stats))
+            p = jax.tree.map(
+                lambda v: (round(float(v), 4) if v.ndim == 0
+                           else np.round(np.asarray(v, np.float64), 4).tolist()),
+                probe(state.params, state.batch_stats))
             curve.append({
                 "step": step, "loss": round(loss, 3), "vpq": round(vpq, 4),
                 "things_pq": {k: round(v["things"]["pq"], 3)
@@ -247,6 +389,12 @@ def main():
             if hits >= 2:
                 break
     loader.close()
+
+    if args.dissect:
+        _dissect(cfg, eval_module,
+                 {"params": state.params, "batch_stats": state.batch_stats},
+                 videos, meta)
+
     final = curve[-1]["vpq"] if curve else 0.0
     print(json.dumps({
         "metric": "overfit 2-video fixture train->infer->VPQ",
