@@ -81,11 +81,16 @@ def build_mapper(cfg, seed: int = 0):
             **common,
         )
     if name in ("ytvis", "ytvis_clip"):
+        from .catalog import MetadataCatalog
         from .ytvis import YTVISClipMapper
 
+        meta = MetadataCatalog.get(cfg.datasets.train[0]) if cfg.datasets.train else {}
+        c2d = meta.get("contiguous_to_dataset_id")
         return YTVISClipMapper(
             num_frames=cfg.input.num_video_frames,
             max_instances=cfg.model.tube_link.num_queries,
+            dataset_id_to_contiguous_id=(
+                {d: c for c, d in enumerate(c2d)} if c2d else None),
             **common,
         )
     if name in ("dvps", "vipseg_dvps", "kitti_step", "vspw"):

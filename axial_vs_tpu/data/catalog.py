@@ -20,6 +20,9 @@ class _DatasetCatalog:
     def list(self):
         return sorted(self._registry)
 
+    def pop(self, name: str):
+        return self._registry.pop(name)
+
     def __contains__(self, name):
         return name in self._registry
 

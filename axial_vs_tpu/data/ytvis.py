@@ -68,7 +68,7 @@ class YTVISClipMapper:
     def __init__(self, *, image_size, num_frames=5, frame_range=4,
                  max_instances=100, pixel_mean=(123.675, 116.28, 103.53),
                  pixel_std=(58.395, 57.12, 57.375), min_scale=0.5,
-                 max_scale=1.5, seed=0):
+                 max_scale=1.5, seed=0, dataset_id_to_contiguous_id=None):
         self.image_size = tuple(image_size)
         self.num_frames = num_frames
         self.frame_range = frame_range
@@ -78,6 +78,11 @@ class YTVISClipMapper:
         self.min_scale = min_scale
         self.max_scale = max_scale
         self.rng = np.random.RandomState(seed)
+        # dataset category_id -> contiguous [0, K) training label. Without
+        # it raw ids leak into the labels while eval maps logits index ->
+        # dataset id through meta.contiguous_to_dataset_id (round-5 fix;
+        # YTVIS ids are 1-based so the two disagree on every class).
+        self.dataset_id_to_contiguous_id = dataset_id_to_contiguous_id
 
     def _sample_frames(self, length):
         key = self.rng.randint(0, length)
@@ -124,7 +129,10 @@ class YTVISClipMapper:
                     mask4[: masks.shape[2], : masks.shape[3]]
                 )
                 valid[ai] = True
-                labels[ai] = ann["category_id"]
+                cid = ann["category_id"]
+                if self.dataset_id_to_contiguous_id is not None:
+                    cid = self.dataset_id_to_contiguous_id[cid]
+                labels[ai] = cid
         return dict(
             images=images,
             targets=dict(labels=labels, masks=masks, valid=valid),

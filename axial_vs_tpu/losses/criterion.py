@@ -269,7 +269,27 @@ class SetCriterion:
 
     def __call__(self, rng, outputs, targets):
         """outputs: model dict; targets: padded dict (see matcher). Returns
-        {loss_name: scalar} with aux-layer losses suffixed ``_i``."""
+        {loss_name: scalar} with aux-layer losses suffixed ``_i``.
+
+        Mappers build OS4 targets at ceil(size/4) (the reference's
+        ``prepare_targets``, `maxtron_wc_model.py:403-404`); VALID-stem
+        backbones (ConvNeXt, `convnext.py:106-108` reference) predict on
+        the floor(size/4) grid at non-multiple-of-4 inputs. The reference
+        only ever trains such backbones on 4-multiple crops; we crop the
+        trailing GT row/col (pad region of the ceil grid) so either crop
+        size works with either backbone."""
+        gt_sp = targets["masks"].shape[2:]
+        pr_sp = outputs["pred_masks"].shape[1:-1]
+        if len(gt_sp) == len(pr_sp) and gt_sp != pr_sp and all(
+            0 <= g - p <= 1 for g, p in zip(gt_sp, pr_sp)
+        ):
+            sl = (slice(None), slice(None)) + tuple(slice(0, p) for p in pr_sp)
+            targets = dict(targets, masks=targets["masks"][sl])
+            if "semantic_masks" in targets:
+                sem = targets["semantic_masks"]  # (..., H, W)
+                targets["semantic_masks"] = sem[
+                    (slice(None),) * (sem.ndim - 2)
+                    + (slice(0, pr_sp[-2]), slice(0, pr_sp[-1]))]
         match = hungarian_match(
             outputs, targets, self.masking_void_pixel, exact=self.exact_matching
         )

@@ -126,23 +126,29 @@ class _DenseParams(nn.Module):
 class _StemS2D(nn.Module):
     """4x4/4 patchify stem as space-to-depth + one matmul.
 
-    Numerically equivalent to ``nn.Conv(F, (4, 4), strides=(4, 4))`` with
-    default SAME padding, and declares the identical {kernel, bias} param
-    tree — but avoids the 3-channel-minor conv layout that profiled
-    ~2.4 ms/clip at ConvNeXt-L 769x1345 on v5e (1.41 ms conv_general +
-    0.95 ms input convert_element_type retile, round-4 trace).
+    Numerically equivalent to the reference's ``nn.Conv2d(in_chans,
+    dims[0], kernel_size=4, stride=4)`` — torch-default VALID padding
+    (`kmax_deeplab/modeling/backbone/convnext.py:106-108`): at a
+    non-multiple-of-4 input the trailing rows/cols that cannot fill a
+    4x4 window are DROPPED (769x1345 -> 192x336), exactly as the
+    reference does at the VIPSeg eval size. Declares the identical
+    {kernel, bias} param tree as nn.Conv.
 
-    Measured round-4 ledger for this op (ConvNeXt-L 769x1345):
+    Measured ledger for this op (ConvNeXt-L 769x1345, v5e):
     1. nn.Conv on (N, H, W, 3): 2.36 ms — every op touching a <128-lane
        minor tensor pays the (8,128) tiling tax (~10-40x physical bytes).
     2. s2d via 6-D transpose (pad -> (N,Ho,4,Wo,4,3) -> transpose -> dot):
        fps-NEUTRAL — the transpose inherits the same 3-minor tiling.
-    3. THIS version: pad/cast on the (N, H, W*C)-flat layout (free
-       row-major reshapes, no sub-128 minor until the last moment), then
-       k dots over (N, Ho, Wo, k*C) slices whose di row-slice fuses into
-       the operand load: ~1.1 ms (0.62 ms pad/regroup copy + 0.48 ms
-       dots).
-    4. Going further is blocked: the (…, 12)-minor dot operands still pad
+    3. round-4 SAME-pad version: pad/cast on the (N, H, W*C)-flat layout,
+       then k dots over (N, Ho, Wo, k*C) slices: ~1.1 ms (0.62 ms of it
+       the pad/regroup copy). The SAME choice was also a semantics
+       DIVERGENCE from the reference (ceil vs floor output grid, content
+       shifted 1 px by the top pad) — round-5 audit.
+    4. THIS version (VALID): the trailing-window crop is a row-major
+       SLICE that fuses into the regroup, no pad copy at all; downstream
+       stages also shrink to the reference's grid (192x336 vs 193x337,
+       ~1% fewer tokens everywhere, 2x-exact ResizedFuse steps).
+    5. Going further is blocked: the (…, 12)-minor dot operands still pad
        12 -> 128 lanes when materialized; a Pallas stem needs the same
        lane -> sublane regroup Mosaic refuses; ideal (pure-bandwidth)
        would be ~0.1 ms."""
@@ -159,20 +165,17 @@ class _StemS2D(nn.Module):
             jnp.float32)
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        ho, wo = -(-h // k), -(-w // k)
-        ph, pw = ho * k - h, wo * k - w  # SAME: stride == kernel
+        ho, wo = h // k, w // k  # VALID: partial trailing windows dropped
         dt = self.dtype or x.dtype
         # every op below runs on (N, H, W*C)-flat layouts — a (..., 3)-minor
         # tensor tiles 3 lanes into 128 (42x waste), which is where BOTH the
         # conv path's 0.95 ms convert and a naive s2d transpose go to die;
-        # all reshapes here are row-major-free and the di row-slice fuses
-        # into the dot operand load
-        x = x.reshape(n, h, w * c).astype(dt)  # cast BEFORE the pad copy
-        if ph or pw:
-            x = jnp.pad(
-                x,
-                ((0, 0), (ph // 2, ph - ph // 2),
-                 ((pw // 2) * c, (pw - pw // 2) * c)))
+        # all reshapes here are row-major-free; the row/col crop is a slice
+        # on this flat layout and the di row-slice fuses into the dot
+        # operand load
+        x = x.reshape(n, h, w * c).astype(dt)
+        if ho * k != h or wo * k != w:
+            x = x[:, : ho * k, : wo * k * c]
         x = x.reshape(n, ho, k, wo, k * c)
         kr = kernel.reshape(k, k * c, self.features).astype(dt)
         y = sum(

@@ -110,6 +110,9 @@ def _build_tube_link_vis(cfg, train):
         num_queries=tl.num_queries,
         num_frames=cfg.input.num_clip_frames,
         use_temporal_attn=tl.use_temporal_attn,
+        feat_channels=tl.feat_channels,
+        out_channels=tl.out_channels,
+        num_decoder_layers=tl.num_decoder_layers,
     )
     return model, _tube_criterion(cfg)
 

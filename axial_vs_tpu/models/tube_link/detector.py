@@ -47,6 +47,11 @@ class TubeLinkVIS(nn.Module):
     num_queries: int = 100
     num_frames: int = 2
     use_temporal_attn: bool = True
+    feat_channels: int = 256
+    out_channels: int = 256
+    num_decoder_layers: int = 9
+    num_heads: int = 8
+    ffn_dim: int = 2048
     dtype: Any = None
 
     @nn.compact
@@ -57,6 +62,11 @@ class TubeLinkVIS(nn.Module):
             num_queries=self.num_queries,
             num_frames=self.num_frames,
             use_temporal_attn=self.use_temporal_attn,
+            feat_channels=self.feat_channels,
+            out_channels=self.out_channels,
+            num_decoder_layers=self.num_decoder_layers,
+            num_heads=self.num_heads,
+            ffn_dim=self.ffn_dim,
             dtype=self.dtype,
             name="head",
         )(feats, train=train, return_query=return_query)

@@ -142,6 +142,51 @@ def weighted_corner_reduce_v4(gs, w, block_rows: int = _V4_BLOCK,
     )(e, w.astype(jnp.bfloat16), *gs)
 
 
+def _v4_math(gs, w, slot_major: bool):
+    """Pure-jnp equivalent of the v4 kernel's math (gathered rows ->
+    weighted corner fold). Used as the VJP rule of the differentiable
+    wrapper below: its gradient touches only the reduce (elementwise +
+    lane-group sums) — the gathers live OUTSIDE and autodiff them to
+    scatter-adds exactly as on the XLA path."""
+    n = len(gs)
+    r, d4 = gs[0].shape
+    d = d4 // 4
+    acc = jnp.zeros((r, d), jnp.float32)
+    for si in range(n):
+        for k in range(4):
+            col = (k * n + si) if slot_major else (si * 4 + k)
+            acc = acc + (
+                gs[si][:, k * d:(k + 1) * d].astype(jnp.float32)
+                * w[:, col][:, None].astype(jnp.float32))
+    return acc.astype(gs[0].dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def weighted_corner_reduce_v4_ad(gs, w, slot_major: bool = False):
+    """Differentiable v4 reduce (VERDICT r4 #4): forward = the Pallas v4
+    kernel (the inference fast path, ~40% faster than the XLA
+    accumulate), backward = the VJP of the identical jnp math
+    (``_v4_math``). Residuals are the (already-materialized) gathered
+    rows + weights, so the backward adds no extra gathers; the training
+    forward no longer has to ride the slow XLA accumulate path
+    "by construction". ``gs`` must be a TUPLE (pytree leaf list)."""
+    return weighted_corner_reduce_v4(list(gs), w, slot_major=slot_major)
+
+
+def _v4_ad_fwd(gs, w, slot_major):
+    return (weighted_corner_reduce_v4(list(gs), w, slot_major=slot_major),
+            (gs, w))
+
+
+def _v4_ad_bwd(slot_major, res, ct):
+    gs, w = res
+    _, vjp = jax.vjp(lambda g, ww: _v4_math(g, ww, slot_major), gs, w)
+    return vjp(ct)
+
+
+weighted_corner_reduce_v4_ad.defvjp(_v4_ad_fwd, _v4_ad_bwd)
+
+
 def _v5_kernel(e_ref, w_ref, *refs, d: int, n: int, p: int):
     """v4 with per-LEVEL merged gathers: each g holds P samples side by
     side in lanes ((R, P*4D), sample pi at lanes [pi*4D, (pi+1)*4D)) so

@@ -299,6 +299,13 @@ def main():
         # array so no subgraph can CSE. fps divides by N chains.
         pipeline = (int(argv[argv.index("--pipeline") + 1])
                     if "--pipeline" in argv else 1)
+        # --chain K: K clip forwards SEQUENTIALLY inside each fori_loop
+        # iteration, each serialized on the previous clip's checksum (same
+        # dependency structure as K separate iterations — still honest
+        # latency) — amortizes the while-loop per-iteration machinery
+        # (carry copies + loop bookkeeping) over K clips.
+        chain = (int(argv[argv.index("--chain") + 1])
+                 if "--chain" in argv else 1)
         inputs = [images] + [
             jnp.asarray(
                 np.random.RandomState(17 + j)
@@ -311,9 +318,11 @@ def main():
             def body(i, carries):
                 outs = []
                 for img, c in zip(inputs, carries):
-                    o = module.apply(vs, img + c * 1e-12, train=False)
-                    outs.append(checksum((o["pred_logits"], o["pred_masks"],
-                                          o["pred_mask_embeddings"])))
+                    for _ in range(chain):
+                        o = module.apply(vs, img + c * 1e-12, train=False)
+                        c = checksum((o["pred_logits"], o["pred_masks"],
+                                      o["pred_mask_embeddings"]))
+                    outs.append(c)
                 return tuple(outs)
 
             return jax.lax.fori_loop(
@@ -324,7 +333,7 @@ def main():
         start = time.perf_counter()
         [float(c) for c in bench_loop(variables, inputs, iters)]
         elapsed = time.perf_counter() - start
-        batch_clips *= pipeline
+        batch_clips *= pipeline * chain
 
     fps = batch_clips * clip_frames * iters / elapsed
     ref_fps, anchor_info = reference_anchor_fps(backbone)

@@ -86,8 +86,11 @@ def test_convnext_features(rng):
 
 
 def test_convnext_stem_s2d_matches_conv(rng):
-    """_StemS2D == nn.Conv(F, (4,4), strides=(4,4)) (SAME), incl. the
-    non-multiple-of-4 padding split (769x1345-style inputs)."""
+    """_StemS2D == nn.Conv(F, (4,4), strides=(4,4), padding=VALID) — the
+    reference stem's torch-default semantics (`kmax_deeplab/modeling/
+    backbone/convnext.py:106-108`): trailing partial windows are DROPPED
+    at non-multiple-of-4 sizes (769x1345 -> 192x336), they are not padded
+    (the round-4 SAME version diverged from the reference there)."""
     from flax import linen as nn
 
     from axial_vs_tpu.models.backbones.convnext import _StemS2D
@@ -96,8 +99,9 @@ def test_convnext_stem_s2d_matches_conv(rng):
         x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
         stem = _StemS2D(24)
         vs = stem.init(jax.random.PRNGKey(1), x)
-        conv = nn.Conv(24, (4, 4), strides=(4, 4))
+        conv = nn.Conv(24, (4, 4), strides=(4, 4), padding="VALID")
         got = stem.apply(vs, x)
+        assert got.shape == (2, h // 4, w // 4, 24)
         want = conv.apply(
             {"params": {"kernel": vs["params"]["kernel"],
                         "bias": vs["params"]["bias"]}}, x)

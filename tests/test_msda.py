@@ -180,3 +180,57 @@ def test_pack_corner_table_matches_roll_build(rng):
             np.testing.assert_allclose(
                 got[:, :valid, lanes], want[:, :valid, lanes], rtol=1e-6,
                 err_msg=f"m={m} k={k}")
+
+
+def test_v4_math_contract(rng):
+    """_v4_math (the VJP rule of the differentiable v4 reduce) implements
+    the kernel's documented contract for both column orders."""
+    from axial_vs_tpu.ops.msda_pallas import _v4_math
+
+    r, n, d = 6, 3, 8
+    gs = tuple(jnp.asarray(rng.randn(r, 4 * d).astype(np.float32))
+               for _ in range(n))
+    w = jnp.asarray(rng.randn(r, n * 4).astype(np.float32))
+    for slot_major in (False, True):
+        got = np.asarray(_v4_math(gs, w, slot_major))
+        want = np.zeros((r, d), np.float32)
+        for si in range(n):
+            for k in range(4):
+                col = k * n + si if slot_major else si * 4 + k
+                want += (np.asarray(gs[si])[:, k * d:(k + 1) * d]
+                         * np.asarray(w)[:, col][:, None])
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="v4 kernel is TPU-only")
+def test_msda_pallas_grads_match_xla_tpu():
+    """Training through the Pallas fast path (weighted_corner_reduce_v4_ad,
+    VERDICT r4 #4): value AND gradients of ms_deform_attn with
+    pallas_reduce=True match the XLA accumulate path on the real chip.
+    d=32 so the (4*d)%128==0 kernel gate opens."""
+    rng = np.random.RandomState(0)
+    b, m, d, p = 1, 2, 32, 2
+    spatial_shapes = ((6, 5), (3, 3))
+    s = sum(h * w for h, w in spatial_shapes)
+    lq = 7
+    value = jnp.asarray(rng.randn(b, s, m, d).astype(np.float32))
+    locs = jnp.asarray(rng.rand(b, lq, m, 2, p, 2).astype(np.float32))
+    weights = jnp.asarray(rng.rand(b, lq, m, 2, p).astype(np.float32))
+
+    def f(pallas):
+        def g(v, l, w):
+            out = ms_deform_attn(v, spatial_shapes, l, w,
+                                 pallas_reduce=pallas)
+            return jnp.sum(out * jnp.cos(out))  # non-trivial cotangent
+        return g
+
+    v0, grads0 = jax.value_and_grad(f(False), argnums=(0, 1, 2))(
+        value, locs, weights)
+    v1, grads1 = jax.value_and_grad(f(True), argnums=(0, 1, 2))(
+        value, locs, weights)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=2e-2, atol=2e-2)
+    for g0, g1 in zip(grads0, grads1):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=5e-2, atol=5e-2)

@@ -23,6 +23,8 @@ import numpy as np
 def main():
     argv = sys.argv
     iters = int(argv[argv.index("--iters") + 1]) if "--iters" in argv else 5
+    backbone = (argv[argv.index("--backbone") + 1]
+                if "--backbone" in argv else "resnet50")
     t = 2
     image_size = (713, 713)
 
@@ -45,6 +47,15 @@ def main():
     cfg.input.image_size = list(image_size)
     cfg.input.num_clip_frames = t
     cfg.model.maxtron.wc.enable = True
+    cfg.model.backbone.name = backbone  # r50 recipe or the ConvNeXt-L
+    # flagship (reference trains ConvNeXt-L as its headline config,
+    # `configs/VIPSeg/.../maxtron_wc_convnext_large.yaml`)
+    if backbone == "convnext_large":
+        cfg.model.backbone.convnext.depths = [3, 3, 27, 3]
+        cfg.model.backbone.convnext.dims = [192, 384, 768, 1536]
+        cfg.model.backbone.convnext.use_scan = True
+        cfg.model.backbone.remat = True  # trade FLOPs for HBM on the
+        # 27-deep stage-3 backward, the standard large-model training move
 
     module = build_segmenter(cfg, num_frames=t, train=True)
     criterion = SetCriterion(
@@ -115,7 +126,8 @@ def main():
     dt = time.perf_counter() - t0
     out = {
         "metric": "VIPSeg WC training steps/sec/chip "
-                  f"(r50, {image_size[0]}x{image_size[1]}, T={t}, bf16)",
+                  f"({backbone}, {image_size[0]}x{image_size[1]}, T={t}, "
+                  "bf16)",
         "value": round(iters / dt, 4),
         "unit": "steps/sec",
         "loss_first": round(loss1, 3),
@@ -129,7 +141,7 @@ def main():
 
         with open(os.path.join(os.path.dirname(__file__), "..",
                                "reference_anchor.json")) as f:
-            a = _json.load(f)["train_resnet50"]
+            a = _json.load(f)[f"train_{backbone}"]
         upper = a["reference_gpu_steps_per_sec_estimate"]
         central = upper * 0.35
         out["vs_baseline"] = round((iters / dt) / central, 3)
