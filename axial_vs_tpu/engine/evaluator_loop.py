@@ -13,9 +13,13 @@ from ..models.video_inference import WCInferencePipeline
 
 
 def evaluate_vipseg(cfg, module, variables, max_videos: int | None = None,
-                    compute_stq: bool = False):
-    """Runs video-wise WC inference over the val split and computes VPQ
-    (mean over windows {1,2,4,6}) against GT panomasks."""
+                    compute_stq: bool = False, pipeline_cls=None):
+    """Runs video-wise inference over the val split and computes VPQ
+    (mean over windows {1,2,4,6}) against GT panomasks.
+
+    ``pipeline_cls`` selects the inference pipeline (default
+    ``WCInferencePipeline``; pass ``CCInferencePipeline`` to evaluate a
+    ``MaXTronCCModel`` through the same evaluator loop)."""
     name = cfg.datasets.test[0]
     videos = DatasetCatalog.get(name)
     meta = MetadataCatalog.get(name)
@@ -25,7 +29,7 @@ def evaluate_vipseg(cfg, module, variables, max_videos: int | None = None,
     for _, ci in meta.thing_dataset_id_to_contiguous_id.items():
         thing_mask[ci] = True
 
-    pipeline = WCInferencePipeline(
+    pipeline = (pipeline_cls or WCInferencePipeline)(
         module, variables,
         num_clip_frames=cfg.input.num_clip_frames,
         input_size=cfg.input.image_size,

@@ -16,6 +16,7 @@ All reshapes are pure layout changes batched for the MXU; softmaxes in fp32.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import jax
@@ -50,6 +51,26 @@ def _dense(features, fan_in, name, dtype=None):
     )
 
 
+class _DenseParams(nn.Module):
+    """Param-owner twin of ``_dense`` ({kernel, bias}, identical name
+    path, shapes, and initializers — so checkpoints/transplants are
+    interchangeable with the XLA path) for weights that ride INTO the
+    fused trajectory-attention kernel instead of a standalone Dense."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", xavier_uniform(),
+            (self.in_features, self.features), jnp.float32)
+        bias = self.param(
+            "bias", torch_linear_bias_init(self.in_features),
+            (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class TrajectoryAttention(nn.Module):
     """Two-stage trajectory attention on (B, N, C), N = num_frames * n,
     tokens ordered frame-major.
@@ -82,6 +103,35 @@ class TrajectoryAttention(nn.Module):
             q = _dense(self.dim, self.dim, "q", self.dtype)(query)
             k = _dense(self.dim, self.dim, "k", self.dtype)(key)
             v = _dense(self.dim, self.dim, "v", self.dtype)(value)
+
+        # Round-5 NEGATIVE result, kept opt-in for the record
+        # (AXIALVS_FUSED_TRAJ=1): ONE Pallas kernel for everything
+        # between the q/k/v and output projections (ops/traj_pallas.py),
+        # keeping the (N, f, C) trajectory tensor in VMEM — ~25 XLA ops
+        # collapse to 1. MEASURED SLOWER end-to-end: Tube-Link 74.9 vs
+        # 83.25 fps, kMaX R50 38.8 vs 41.2, ConvNeXt-L neutral
+        # (ARTIFACTS_r05 shakedown run). At these tiny axial shapes
+        # (N = T*H of 50-200) XLA batches every op across ALL B' rows,
+        # while the kernel's one-row grid blocks serialize f*h unrolled
+        # sub-MXU dots plus 32-lane slice/concat relayouts per block —
+        # the op-count win does not pay for the lost cross-row batching.
+        # Parity (interpret + on-chip) pinned by tests/test_traj_pallas.py.
+        if (
+            not return_attn
+            and jax.default_backend() == "tpu"
+            and os.environ.get("AXIALVS_FUSED_TRAJ", "0") == "1"
+            and n_tokens % f == 0
+        ):
+            from ..ops.traj_pallas import fused_trajectory_attention
+
+            wq2, bq2 = _DenseParams(self.dim, self.dim, name="proj_q")()
+            wkv2, bkv2 = _DenseParams(
+                self.dim, self.dim * 2, name="proj_kv")()
+            dt = q.dtype
+            out = fused_trajectory_attention(
+                q, k, v, wq2.astype(dt), bq2.astype(dt),
+                wkv2.astype(dt), bkv2.astype(dt), f, h, scale)
+            return _dense(self.dim, self.dim, "proj", self.dtype)(out)
 
         # head split WITHOUT head-major transposes: the einsums below index
         # h in place, so the head moves ride inside dot_general operand

@@ -91,20 +91,25 @@ class FusedMSDATrajectoryAttention(nn.Module):
                 num_heads=self.num_heads, num_layers=self.num_temporal_layers,
                 dtype=self.dtype, name="temporal_encoder",
             )
-            parts = []
+            # the temporal levels are the FIRST num_temporal_levels, i.e. a
+            # contiguous token prefix — update them in place with
+            # dynamic-update-slices instead of rebuilding the whole
+            # (B*T, S, C) tensor with a concatenate (the concat measured
+            # 0.41 ms x 6 layers = 2.5 ms/clip on the round-5 tube trace;
+            # a DUS writes only the updated prefix)
             offset = 0
-            for i, (h, w) in enumerate(spatial_shapes):
-                piece = out[:, offset : offset + h * w]
+            for i, (h, w) in enumerate(
+                    spatial_shapes[: self.num_temporal_levels]):
+                piece = jax.lax.dynamic_slice_in_dim(out, offset, h * w, 1)
+                upd, _, _ = encoder(
+                    piece, pos_3d[i], num_frames=self.num_frames,
+                    height=h, width=w, train=train,
+                )
+                piece = piece + gamma.astype(piece.dtype) * upd \
+                    if self.skip_connect else upd
+                out = jax.lax.dynamic_update_slice_in_dim(
+                    out, piece, offset, 1)
                 offset += h * w
-                if i < self.num_temporal_levels:
-                    upd, _, _ = encoder(
-                        piece, pos_3d[i], num_frames=self.num_frames,
-                        height=h, width=w, train=train,
-                    )
-                    piece = piece + gamma.astype(piece.dtype) * upd \
-                        if self.skip_connect else upd
-                parts.append(piece)
-            out = jnp.concatenate(parts, axis=1)
 
         out = _dense(self.embed_dims, self.embed_dims, "output_proj", self.dtype)(out)
         return identity + out

@@ -314,3 +314,38 @@ class WCInferencePipeline:
 
         h_attn, w_attn = attn_forward(jnp.asarray(images))
         return np.asarray(h_attn), np.asarray(w_attn)
+
+
+class CCInferencePipeline(WCInferencePipeline):
+    """Whole-video inference through ``MaXTronCCModel``: the model runs the
+    frozen segmenter clip windows, the center alignment, and the cross-clip
+    tracking module inside ONE jit (ref `maxtron_cc_model.py:371-403`
+    windows + :262-266 pad-to-clip-multiple); this adapter only
+    preprocesses frames and reuses the WC finalize (resize ->
+    panoptic_inference -> dataset-id remap), so ``evaluate_vipseg`` can
+    drive CC models through the identical evaluator loop."""
+
+    def __init__(self, module, variables, **kw):
+        super().__init__(module, variables, **kw)
+
+        @jax.jit
+        def video_forward(images):
+            out = module.apply(variables, images, train=False)
+            # pred_logits (1, N, C+1); pred_masks (1, T_total, h4, w4, N)
+            return out["pred_logits"][0], out["pred_masks"][0]
+
+        self._video_forward = video_forward
+
+    def run_video(self, frames: np.ndarray, orig_hw=None):
+        v = frames.shape[0]
+        t = self.num_clip_frames
+        orig_hw = orig_hw or (frames.shape[1], frames.shape[2])
+        images, scaled_h, scaled_w, _ = preprocess_frames(
+            frames, self.pixel_mean, self.pixel_std, self.input_size)
+        pad = (-v) % t
+        if pad:  # repeat the last frame to a clip multiple (ref :262-266)
+            images = np.concatenate([images] + [images[-1:]] * pad, axis=0)
+        logits, masks = self._video_forward(jax.device_put(images))
+        finalize = self._finalize_fn((scaled_h, scaled_w), tuple(orig_hw))
+        ids, result = finalize(logits, masks)
+        return (np.asarray(ids)[:v], jax.tree.map(np.asarray, result), None)

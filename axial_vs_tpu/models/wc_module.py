@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -131,19 +132,23 @@ class WithinClipTrackingModule(nn.Module):
                     temporal_attn_type=self.temporal_attn_type,
                     dtype=self.dtype, name=f"temporal_encoder{stage}",
                 )
-                parts = []
+                # temporal levels are the FIRST num_temporal_levels — a
+                # contiguous token prefix, so update it in place (DUS)
+                # instead of concat-rebuilding the whole (B*T, S, C)
+                # tensor (the concat measured 0.41 ms/layer on the
+                # round-5 Tube-Link trace of the same pattern)
                 offset = 0
-                for i, size in enumerate(sizes):
-                    piece = src_flat[:, offset : offset + size]
-                    offset += size
-                    if i < num_temporal_levels:
-                        piece, h_attn, w_attn = encoder(
-                            piece, pos_3d[i], num_frames=t,
-                            height=shapes[i][0], width=shapes[i][1],
-                            train=train, return_attn=return_attn,
-                        )
-                    parts.append(piece)
-                src_flat = jnp.concatenate(parts, axis=1)
+                for i in range(num_temporal_levels):
+                    piece = jax.lax.dynamic_slice_in_dim(
+                        src_flat, offset, sizes[i], 1)
+                    piece, h_attn, w_attn = encoder(
+                        piece, pos_3d[i], num_frames=t,
+                        height=shapes[i][0], width=shapes[i][1],
+                        train=train, return_attn=return_attn,
+                    )
+                    src_flat = jax.lax.dynamic_update_slice_in_dim(
+                        src_flat, piece, offset, 1)
+                    offset += sizes[i]
 
         out = dict(features)
         offset = 0

@@ -55,7 +55,11 @@ def test_overfit_150step_argmax_iou(tmp_path):
     cfg.solver.base_lr = 5e-3
     cfg.solver.prediction_head_multiplier = 1.0
     cfg.solver.warmup_iters = 0
-    cfg.solver.max_iter = steps
+    # lr trajectory IDENTICAL to the validated tools/validate_overfit.py
+    # run (poly horizon 800), truncated at `steps`: decaying to 0 within
+    # 150 steps starved the fit (measured mean IoU 0.703 — segments at
+    # 0.23/0.54 were still moving when the lr died)
+    cfg.solver.max_iter = 800
 
     module = build_segmenter(cfg, num_frames=t, train=True)
     eval_module = build_segmenter(cfg, num_frames=t, train=False)
@@ -77,7 +81,8 @@ def test_overfit_150step_argmax_iou(tmp_path):
     variables = module.init(rng, images0, train=True)
     tx = build_optimizer(
         cfg, variables["params"],
-        tf2_warmup_poly_lr(cfg.solver.base_lr, steps, warmup_iters=0))
+        tf2_warmup_poly_lr(cfg.solver.base_lr, cfg.solver.max_iter,
+                           warmup_iters=0))
     state = TrainState(
         step=jnp.zeros([], jnp.int32), params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),

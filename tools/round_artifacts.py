@@ -78,7 +78,8 @@ def main():
     stages = [
         ("pallas_parity",
          [py, "-m", "pytest", "tests/test_convnext_pallas.py",
-          "tests/test_msda.py", "-q", "--no-header", "-p", "no:cacheprovider"],
+          "tests/test_msda.py", "tests/test_traj_pallas.py", "-q",
+          "--no-header", "-p", "no:cacheprovider"],
          {"AXIALVS_TEST_TPU": "1"}, 3600),
         ("north_star", [py, "bench.py", "--iters", "10"], None, 3600),
         ("r50", [py, "bench.py", "--backbone", "resnet50", "--iters", "10"],

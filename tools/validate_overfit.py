@@ -199,6 +199,13 @@ def main():
                          "embedding-alignment permutations, post-average "
                          "class probs, and the accepted/rejected segments")
     ap.add_argument("--out", default="/tmp/axialvs_overfit")
+    ap.add_argument("--save-params", default=None, metavar="PATH",
+                    help="after the run, pickle {params, batch_stats} of "
+                         "the trained WC segmenter to PATH (consumed by "
+                         "tools/validate_overfit_cc.py, which trains the "
+                         "cross-clip module on top of the frozen result "
+                         "— the reference's CC recipe, "
+                         "maxtron_cc_model.py:104-108)")
     args = ap.parse_args()
 
     import jax
@@ -394,6 +401,17 @@ def main():
         _dissect(cfg, eval_module,
                  {"params": state.params, "batch_stats": state.batch_stats},
                  videos, meta)
+
+    if args.save_params:
+        import pickle
+
+        with open(args.save_params, "wb") as fh:
+            pickle.dump(jax.tree.map(np.asarray, {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+            }), fh)
+        print(f"saved trained segmenter variables to {args.save_params}",
+              flush=True)
 
     final = curve[-1]["vpq"] if curve else 0.0
     print(json.dumps({
