@@ -10,6 +10,7 @@ Prints ONE JSON line (clips/sec; one clip = one T-frame video sample).
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -107,7 +108,12 @@ def main():
 
     train_step = make_train_step(module, criterion, tx)
 
-    @jax.jit
+    # donate the state: without aliasing, input state + output state are
+    # BOTH live across the call (~2.9 GB each for ConvNeXt-L params + Adam
+    # moments) and the ConvNeXt-L 713x713 step RESOURCE_EXHAUSTs a 16 GB
+    # chip (compiled stats: 2.95 args + 2.93 out + 5.9 temp + 0.47 code GB).
+    # The real trainer donates too (engine/trainer.py).
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def bench_loop(state, batch, n):
         def body(i, carry):
             st, _ = carry
@@ -118,10 +124,10 @@ def main():
         return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
 
     batch = {"images": imgs, "targets": targets}
-    _, loss1 = bench_loop(state, batch, 1)
+    state, loss1 = bench_loop(state, batch, 1)
     loss1 = float(loss1)
     t0 = time.perf_counter()
-    _, loss = bench_loop(state, batch, iters)
+    state, loss = bench_loop(state, batch, iters)
     loss = float(loss)
     dt = time.perf_counter() - t0
     out = {
