@@ -20,7 +20,6 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -132,23 +131,28 @@ class WithinClipTrackingModule(nn.Module):
                     temporal_attn_type=self.temporal_attn_type,
                     dtype=self.dtype, name=f"temporal_encoder{stage}",
                 )
-                # temporal levels are the FIRST num_temporal_levels — a
-                # contiguous token prefix, so update it in place (DUS)
-                # instead of concat-rebuilding the whole (B*T, S, C)
-                # tensor (the concat measured 0.41 ms/layer on the
-                # round-5 Tube-Link trace of the same pattern)
+                # temporal levels are the FIRST num_temporal_levels of the
+                # token prefix. Round-5 measured a dynamic-update-slice
+                # formulation fps-NEUTRAL on TPU (83.25 vs 83.10 — XLA
+                # still copies the unaliased buffer), and on the CPU
+                # overfit harness its different fusion/rounding perturbed
+                # the k-means trajectory into a stable two-slot split of
+                # the thing query — so the concat formulation, whose
+                # deterministic end-to-end learning proof is recorded in
+                # STATUS.md, is kept.
+                parts = []
                 offset = 0
-                for i in range(num_temporal_levels):
-                    piece = jax.lax.dynamic_slice_in_dim(
-                        src_flat, offset, sizes[i], 1)
-                    piece, h_attn, w_attn = encoder(
-                        piece, pos_3d[i], num_frames=t,
-                        height=shapes[i][0], width=shapes[i][1],
-                        train=train, return_attn=return_attn,
-                    )
-                    src_flat = jax.lax.dynamic_update_slice_in_dim(
-                        src_flat, piece, offset, 1)
-                    offset += sizes[i]
+                for i, size in enumerate(sizes):
+                    piece = src_flat[:, offset : offset + size]
+                    offset += size
+                    if i < num_temporal_levels:
+                        piece, h_attn, w_attn = encoder(
+                            piece, pos_3d[i], num_frames=t,
+                            height=shapes[i][0], width=shapes[i][1],
+                            train=train, return_attn=return_attn,
+                        )
+                    parts.append(piece)
+                src_flat = jnp.concatenate(parts, axis=1)
 
         out = dict(features)
         offset = 0
